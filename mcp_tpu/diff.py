@@ -1,0 +1,160 @@
+"""Differentiation through the interior-point solve via the implicit function
+theorem (IFT).
+
+At a solution, F(z*; θ, ϵ) = 0, so ∂z*/∂θ = -(∇F_z)⁻¹ ∇F_θ
+(reference src/AutoDiff.jl:1-8). The reference wires this up twice — a
+ChainRulesCore rrule for Zygote reverse mode (src/AutoDiff.jl:42-82) and a
+ForwardDiff Dual overload (src/AutoDiff.jl:84-117). Here a single
+``jax.custom_jvp`` rule serves both: forward mode uses it directly, and
+reverse mode falls out of JAX's linearize-then-transpose machinery because
+the tangent computation is built from transposable pieces
+(``lax.custom_linear_solve`` + a JVP of F in θ). This collapses the
+reference's dual-AD glue (SURVEY.md §3.4) into plain ``jax.grad``.
+
+Efficiency note: the reference materializes the full ∂z/∂θ matrix with a
+column-pivoted QR solve against all p columns of ∇F_θ (src/AutoDiff.jl:39).
+Here ∇F_θ is never materialized: forward mode needs one linear solve against
+∇F_θ·θ̇ (a JVP of F), reverse mode one transposed solve whose result is
+contracted via a VJP of F — O(1) linear solves regardless of p. This matters:
+the QP benchmark has p ≈ 20k.
+
+Known reference bug NOT replicated: the ForwardDiff path builds the slack
+duals from ``solution.y`` instead of ``solution.s`` (src/AutoDiff.jl:108-113);
+here s receives its correct tangent rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .linalg import assemble_dense_jacobian
+from .mcp import PrimalDualMCP
+from .solver import SolverOptions, default_initialization, ip_solve
+from .types import SolveResult, zeros_tangent
+
+Array = jax.Array
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _solve(mcp: PrimalDualMCP, options: SolverOptions, theta, x0, y0, s0):
+    return ip_solve(mcp, options, theta, x0, y0, s0)
+
+
+@_solve.defjvp
+def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
+    if not mcp.compute_sensitivities:
+        # API-parity error path (reference src/AutoDiff.jl:19-23).
+        raise ValueError(
+            "Missing sensitivities. Set `compute_sensitivities=True` when "
+            "constructing the PrimalDualMCP."
+        )
+    theta, x0, y0, s0 = primals
+    theta_dot = tangents[0]
+    # Warm starts get no tangent, matching the reference rrule's NoTangent
+    # treatment of non-θ arguments (src/AutoDiff.jl:53-57).
+
+    sol = ip_solve(mcp, options, theta, x0, y0, s0)
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+
+    # ∇F_z at the solution, evaluated at the final ϵ and WITHOUT the tol·I
+    # regularization — exactly as the reference sensitivity computation does
+    # (src/AutoDiff.jl:27-33 re-evaluates mcp.∇F_z!, not the regularized A).
+    Gx, Gy, Hx, Hy = mcp.gh_jacobians(sol.x, sol.y, theta)
+    Jz = assemble_dense_jacobian(Gx, Gy, Hx, Hy, sol.y, sol.s)
+    neg_Jz = -Jz
+    lu_and_piv = jax.scipy.linalg.lu_factor(neg_Jz)
+
+    def matvec(v):
+        return neg_Jz @ v
+
+    def solve_fn(_, b):
+        return jax.scipy.linalg.lu_solve(lu_and_piv, b)
+
+    def transpose_solve_fn(_, b):
+        return jax.scipy.linalg.lu_solve(lu_and_piv, b, trans=1)
+
+    # ∇F_θ·θ̇ as a JVP of F in θ — linear in θ̇, hence transposable into the
+    # VJP needed for reverse mode.
+    def F_of_theta(t):
+        return mcp.F(sol.x, sol.y, sol.s, t, sol.epsilon)
+
+    _, F_dot = jax.jvp(F_of_theta, (theta,), (theta_dot,))
+
+    # ż = ∂z/∂θ·θ̇ = (-∇F_z)⁻¹ ∇F_θ·θ̇.
+    z_dot = lax.custom_linear_solve(
+        matvec, F_dot, solve_fn, transpose_solve=transpose_solve_fn
+    )
+
+    tangent = SolveResult(
+        x=z_dot[:n],
+        y=z_dot[n : n + m],
+        s=z_dot[n + m :],
+        kkt_error=zeros_tangent(sol.kkt_error),
+        epsilon=zeros_tangent(sol.epsilon),
+        outer_iters=zeros_tangent(sol.outer_iters),
+        status=zeros_tangent(sol.status),
+    )
+    return sol, tangent
+
+
+_jitted_solve = jax.jit(_solve, static_argnums=(0, 1))
+
+
+def solve(
+    mcp: PrimalDualMCP,
+    theta: Array,
+    *,
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    s0: Optional[Array] = None,
+    options: Optional[SolverOptions] = None,
+    **option_overrides,
+) -> SolveResult:
+    """Solve an MCP; jit-compiled, differentiable w.r.t. ``theta``.
+
+    Mirrors the reference entry point ``solve(InteriorPoint(), mcp, θ;
+    x₀, y₀, s₀, kwargs...)`` (src/solver.jl:35-51). Option kwargs accept the
+    reference names (tol, max_inner_iters, max_outer_iters, tightening_rate,
+    loosening_rate, min_stepsize) plus the linear_solver tier.
+    """
+    if options is None:
+        options = SolverOptions(**option_overrides)
+    elif option_overrides:
+        options = dataclasses_replace(options, **option_overrides)
+    theta = jnp.asarray(theta)
+    x0, y0, s0 = default_initialization(mcp, theta, x0, y0, s0)
+    return _jitted_solve(mcp, options, theta, x0, y0, s0)
+
+
+def dataclasses_replace(options, **kw):
+    import dataclasses
+
+    return dataclasses.replace(options, **kw)
+
+
+def solve_jacobian_theta(
+    mcp: PrimalDualMCP, sol: SolveResult, theta: Array, *, method: str = "lu"
+) -> Array:
+    """Materialize the full ∂z*/∂θ ∈ R^{(n+2m)×p} — the direct counterpart of
+    the reference's ``_solve_jacobian_θ`` (src/AutoDiff.jl:18-40). ``method``
+    "lstsq" is the rank-revealing analog of the reference's pivoted QR."""
+    if not mcp.compute_sensitivities:
+        raise ValueError(
+            "Missing sensitivities. Set `compute_sensitivities=True` when "
+            "constructing the PrimalDualMCP."
+        )
+    Gx, Gy, Hx, Hy = mcp.gh_jacobians(sol.x, sol.y, theta)
+    Jz = assemble_dense_jacobian(Gx, Gy, Hx, Hy, sol.y, sol.s)
+
+    def F_of_theta(t):
+        return mcp.F(sol.x, sol.y, sol.s, t, sol.epsilon)
+
+    J_theta = jax.jacfwd(F_of_theta)(theta)
+    if method == "lstsq":
+        return jnp.linalg.lstsq(-Jz, J_theta)[0]
+    return jnp.linalg.solve(-Jz, J_theta)

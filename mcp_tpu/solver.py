@@ -1,0 +1,206 @@
+"""Interior-point MCP solver as a single fixed-shape ``lax.while_loop``.
+
+Algorithm parity target: the reference's Nocedal & Wright ch. 19-style solver
+(reference src/solver.jl:35-138) —
+
+  outer loop (≤ max_outer_iters): anneal ϵ from 1.0
+    inner Newton loop (≤ max_inner_iters): while ‖F‖∞ > ϵ
+      δz ← (∇F + tol·I)⁻¹ (-F)              (src/solver.jl:79-83)
+      α_s ← frac-to-boundary on (s, δs); α_y on (y, δy)   (:93-94, :127-138)
+      x += α_s δx;  s += α_s δs;  y += α_y δy             (:103-105)
+      kkt_error ← ‖F‖∞ (at the *pre-step* point, as in the reference :107)
+    ϵ *= (1 - exp(-tightening·inner))  on success          (:111-113)
+    ϵ *= (1 + exp(-loosening·inner))   on failure
+  status := failed if outer_iters hits max_outer_iters     (:117-119)
+
+TPU-first deltas (SURVEY.md §7.1.2):
+  * Both loops are ``lax.while_loop``s with a fixed-shape carry, so the whole
+    solve jit-compiles once per (MCP, options) pair and ``vmap``s over θ.
+  * The backtracking linesearch is an exact replica of the reference's
+    halving loop (power-of-two step sizes, NaN on failure below min_stepsize),
+    implemented as a bounded while_loop — its O(m) iterations are negligible
+    next to the O((n+m)³) Newton solve.
+  * The Newton system is solved by a structure-exploiting condensed
+    elimination by default (see linalg.py), algebraically identical to the
+    reference's full regularized system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .linalg import NEWTON_STEPS
+from .mcp import PrimalDualMCP
+from .types import FAILED, SOLVED, SolveResult
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Solver options; field names and defaults mirror the reference kwargs
+    (src/solver.jl:42-50; min_stepsize changed to 1e-4 by the fork at :48)."""
+
+    tol: float = 1e-4
+    max_inner_iters: int = 20
+    max_outer_iters: int = 50
+    tightening_rate: float = 0.1
+    loosening_rate: float = 0.5
+    min_stepsize: float = 1e-4
+    tau: float = 0.995  # fraction-to-boundary parameter (src/solver.jl:127)
+    decay: float = 0.5  # linesearch halving factor (src/solver.jl:127)
+    # Pluggable linear solver, the counterpart of the reference's
+    # `linear_solve_algorithm` kwarg (src/solver.jl:33,50).
+    linear_solver: str = "condensed"
+    # IFT sensitivity linear solve: "lu" (regular solve) or "lstsq"
+    # (rank-revealing, the analog of the reference's pivoted QR,
+    # src/AutoDiff.jl:39).
+    sensitivity_solver: str = "lu"
+
+
+def fraction_to_the_boundary_linesearch(
+    v: Array, dv: Array, *, tau: float, decay: float, min_stepsize: float
+) -> Array:
+    """α = max power-of-`decay` in (min_stepsize, 1] with v + α·δ ≥ (1-τ)·v,
+    or NaN if none exists — an exact replica of the reference's backtracking
+    loop (src/solver.jl:127-138), as a bounded while_loop."""
+    one_minus_tau = 1.0 - tau
+
+    def violates(alpha):
+        return jnp.any(v + alpha * dv < one_minus_tau * v)
+
+    alpha = lax.while_loop(
+        lambda a: violates(a) & (a >= min_stepsize),
+        lambda a: a * decay,
+        jnp.asarray(1.0, dtype=v.dtype),
+    )
+    return jnp.where(violates(alpha), jnp.nan, alpha)
+
+
+def ip_solve(
+    mcp: PrimalDualMCP,
+    options: SolverOptions,
+    theta: Array,
+    x0: Array,
+    y0: Array,
+    s0: Array,
+) -> SolveResult:
+    """One interior-point solve. Pure, shape-static, vmap-able over
+    (theta, x0, y0, s0). Not differentiable — use diff.solve for that."""
+    newton_step = NEWTON_STEPS[options.linear_solver]
+    tol = options.tol
+    dtype = x0.dtype
+
+    def inner_body(carry):
+        x, y, s, kkt_error, inner, failed, eps = carry
+
+        # The solve runs in the iterate dtype regardless of problem-data
+        # dtype (f64 data must not promote an f32 TPU solve's carry).
+        rG, rH, rC = (r.astype(dtype) for r in mcp.F_parts(x, y, s, theta, eps))
+        Gx, Gy, Hx, Hy = (J.astype(dtype) for J in mcp.gh_jacobians(x, y, theta))
+        dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
+
+        # Linear-solve failure detection: the reference checks the LinearSolve
+        # retcode (src/solver.jl:84-88); dense LU signals failure via
+        # non-finite step entries.
+        lin_failed = ~(
+            jnp.all(jnp.isfinite(dx))
+            & jnp.all(jnp.isfinite(dy))
+            & jnp.all(jnp.isfinite(ds))
+        )
+
+        ls = functools.partial(
+            fraction_to_the_boundary_linesearch,
+            tau=options.tau,
+            decay=options.decay,
+            min_stepsize=options.min_stepsize,
+        )
+        # NaN steps would spin the linesearch loop forever; guard with 0.
+        safe = lambda d: jnp.where(lin_failed, jnp.zeros_like(d), d)
+        alpha_s = ls(s, safe(ds))
+        alpha_y = ls(y, safe(dy))
+        ls_failed = jnp.isnan(alpha_s) | jnp.isnan(alpha_y)
+
+        step_failed = lin_failed | ls_failed
+        # The reference breaks *before* applying the update and before
+        # refreshing kkt_error / inner count (src/solver.jl:84-105).
+        a_s = jnp.where(step_failed, 0.0, alpha_s).astype(dtype)
+        a_y = jnp.where(step_failed, 0.0, alpha_y).astype(dtype)
+        x = x + a_s * dx
+        s = s + a_s * ds
+        y = y + a_y * dy
+
+        F_norm = jnp.maximum(
+            jnp.max(jnp.abs(rG), initial=0.0),
+            jnp.maximum(
+                jnp.max(jnp.abs(rH), initial=0.0), jnp.max(jnp.abs(rC), initial=0.0)
+            ),
+        )
+        kkt_error = jnp.where(step_failed, kkt_error, F_norm)
+        inner = jnp.where(step_failed, inner, inner + 1)
+        return x, y, s, kkt_error, inner, step_failed, eps
+
+    def inner_cond(carry):
+        _, _, _, kkt_error, inner, failed, eps = carry
+        return (kkt_error > eps) & (inner < options.max_inner_iters) & ~failed
+
+    def outer_body(carry):
+        x, y, s, kkt_error, eps, outer, _ = carry
+        # status resets to :solved at the top of each outer iteration
+        # (src/solver.jl:72-73).
+        inner_carry = (x, y, s, kkt_error, jnp.int32(1), jnp.bool_(False), eps)
+        x, y, s, kkt_error, inner, failed, _ = lax.while_loop(
+            inner_cond, inner_body, inner_carry
+        )
+        inner_f = inner.astype(dtype)
+        eps = eps * jnp.where(
+            failed,
+            1.0 + jnp.exp(-options.loosening_rate * inner_f),
+            1.0 - jnp.exp(-options.tightening_rate * inner_f),
+        )
+        return x, y, s, kkt_error, eps, outer + 1, failed
+
+    def outer_cond(carry):
+        _, _, _, kkt_error, eps, outer, _ = carry
+        return (kkt_error > tol) & (eps > tol) & (outer < options.max_outer_iters)
+
+    init = (
+        x0,
+        y0,
+        s0,
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(1.0, dtype),
+        jnp.int32(1),
+        jnp.bool_(False),
+    )
+    x, y, s, kkt_error, eps, outer, failed = lax.while_loop(
+        outer_cond, outer_body, init
+    )
+    failed = failed | (outer == options.max_outer_iters)
+    status = jnp.where(failed, jnp.int32(FAILED), jnp.int32(SOLVED))
+    return SolveResult(
+        x=x, y=y, s=s, kkt_error=kkt_error, epsilon=eps, outer_iters=outer, status=status
+    )
+
+
+def default_initialization(
+    mcp: PrimalDualMCP,
+    theta: Array,
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    s0: Optional[Array] = None,
+    dtype=None,
+):
+    """Reference defaults: x₀ = 0, y₀ = s₀ = 1 (src/solver.jl:38-41)."""
+    dtype = dtype or jnp.asarray(theta).dtype
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+    x0 = jnp.zeros(n, dtype) if x0 is None else jnp.asarray(x0, dtype)
+    y0 = jnp.ones(m, dtype) if y0 is None else jnp.asarray(y0, dtype)
+    s0 = jnp.ones(m, dtype) if s0 is None else jnp.asarray(s0, dtype)
+    return x0, y0, s0

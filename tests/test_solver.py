@@ -1,0 +1,134 @@
+"""QP-KKT solver oracle tests, mirroring the reference's QPTestProblem testset
+(reference test/runtests.jl:8-63):
+
+    min_x 0.5 xᵀMx - θᵀx   s.t.  Ax - b ≥ 0
+    KKT:  G(x, y) = Mx - θ - Aᵀy = 0,   0 ≤ y ⟂ H(x, y) = Ax - b ≥ 0.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcp_tpu
+from mcp_tpu import PrimalDualMCP, SOLVED
+
+M = jnp.array([[2.0, 1.0], [1.0, 2.0]])
+A = jnp.eye(2)
+b = jnp.array([1.0, 1.0])
+THETA = jnp.array([-0.5, 0.5])
+
+
+def G(x, y, theta):
+    return M @ x - theta - A.T @ y
+
+
+def H(x, y, theta):
+    return A @ x - b
+
+
+def K(z, theta):
+    x, y = z[:2], z[2:]
+    return jnp.concatenate([G(x, y, theta), H(x, y, theta)])
+
+
+def check_solution(sol):
+    """The reference's solution oracle (test/runtests.jl:30-38)."""
+    np.testing.assert_array_less(np.abs(G(sol.x, sol.y, THETA)), 5e-3)
+    assert np.all(np.asarray(H(sol.x, sol.y, THETA)) >= 0)
+    assert np.all(np.asarray(sol.y) >= 0)
+    assert float(jnp.sum(sol.y * H(sol.x, sol.y, THETA))) <= 5e-3
+    assert np.all(np.asarray(sol.s) <= 5e-3)
+    assert float(sol.kkt_error) <= 5e-3
+    assert int(sol.status) == SOLVED
+
+
+def make_gh_mcp(**kwargs):
+    return PrimalDualMCP.from_gh(
+        G,
+        H,
+        unconstrained_dimension=2,
+        constrained_dimension=2,
+        parameter_dimension=2,
+        **kwargs,
+    )
+
+
+class TestBasicCallableConstructor:
+    def test_solve(self):
+        sol = mcp_tpu.solve(make_gh_mcp(), THETA)
+        check_solution(sol)
+
+
+class TestAlternativeCallableConstructor:
+    def test_solve(self):
+        mcp = PrimalDualMCP.from_k(
+            K,
+            [-np.inf, -np.inf, 0.0, 0.0],
+            [np.inf] * 4,
+            parameter_dimension=2,
+        )
+        sol = mcp_tpu.solve(mcp, THETA)
+        check_solution(sol)
+
+    def test_bounds_validation(self):
+        with pytest.raises(ValueError):
+            PrimalDualMCP.from_k(K, [-np.inf] * 4, [np.inf] * 3 + [1.0], parameter_dimension=2)
+        with pytest.raises(ValueError):
+            PrimalDualMCP.from_k(K, [-np.inf, 1.0, 0.0, 0.0], [np.inf] * 4, parameter_dimension=2)
+
+
+class TestLinearSolverTiers:
+    def test_condensed_matches_dense(self):
+        """The condensed Schur elimination is exact (linalg.py): solutions from
+        both tiers agree to fp roundoff."""
+        mcp = make_gh_mcp()
+        sol_c = mcp_tpu.solve(mcp, THETA, linear_solver="condensed")
+        sol_d = mcp_tpu.solve(mcp, THETA, linear_solver="dense")
+        np.testing.assert_allclose(sol_c.x, sol_d.x, atol=1e-8)
+        np.testing.assert_allclose(sol_c.y, sol_d.y, atol=1e-8)
+        np.testing.assert_allclose(sol_c.s, sol_d.s, atol=1e-8)
+        assert int(sol_c.outer_iters) == int(sol_d.outer_iters)
+
+
+class TestWarmStart:
+    def test_warm_start_on_perturbed_theta(self):
+        """The receding-horizon pattern: re-solve a slightly shifted problem
+        from the previous solution's (x, y) (reference examples/utils.jl:209-216).
+        Must still satisfy the oracle for the new θ."""
+        mcp = make_gh_mcp()
+        sol = mcp_tpu.solve(mcp, THETA)
+        theta2 = THETA + 0.01
+        sol2 = mcp_tpu.solve(mcp, theta2, x0=sol.x, y0=sol.y)
+        assert int(sol2.status) == SOLVED
+        np.testing.assert_array_less(np.abs(G(sol2.x, sol2.y, theta2)), 5e-3)
+        assert np.all(np.asarray(sol2.y) >= -1e-12)
+
+
+class TestStatuses:
+    def test_infeasible_reports_failure_or_no_false_success(self):
+        """An infeasible problem (x ≥ 1 and -x ≥ 1) must not report a solved
+        status with a large kkt_error below tolerance semantics."""
+
+        def H_bad(x, y, theta):
+            return jnp.concatenate([x - 1.0, -x - 1.0])
+
+        mcp = PrimalDualMCP.from_gh(
+            G=lambda x, y, theta: M @ x - theta - jnp.concatenate([jnp.eye(2), -jnp.eye(2)]).T @ y,
+            H=H_bad,
+            unconstrained_dimension=2,
+            constrained_dimension=4,
+            parameter_dimension=2,
+        )
+        sol = mcp_tpu.solve(mcp, THETA)
+        solved_and_accurate = int(sol.status) == SOLVED and float(sol.kkt_error) <= 5e-3
+        assert not solved_and_accurate
+
+
+class TestFloat32:
+    def test_f32_solve(self):
+        """TPU-dtype path: float32 solve reaches the (looser) oracle."""
+        mcp = make_gh_mcp()
+        sol = mcp_tpu.solve(mcp, THETA.astype(jnp.float32), tol=1e-3)
+        assert sol.x.dtype == jnp.float32
+        assert int(sol.status) == SOLVED
+        np.testing.assert_array_less(np.abs(G(sol.x, sol.y, THETA)), 2e-2)
