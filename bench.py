@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark entry point: batched lane-change trajectory-game MCP solves/s.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Protocol (mirrors the reference benches, re-targeted at the TPU design):
+  * problem: the 2-player lane-change game, horizon 10 — the reference's
+    trajectory-game benchmark workload (benchmark/trajectory_game_benchmark.jl:39)
+    with randomized initial states + lane preferences (:62-87).
+  * batch of B random θ solved via the vmapped fixed-shape interior-point
+    solve on one TPU chip, f32, solver defaults (tol=1e-4, reference
+    src/solver.jl:42-48); timing = best of `repeats` full-batch runs after a
+    compile warm-up.
+  * vs_baseline: the reference's measured N=2 receding-horizon step time of
+    0.23 s/solve on CPU (scripts/time_plot.py:5-14, BASELINE.md) →
+    baseline rate 1/0.23 ≈ 4.35 solves/s. vs_baseline = solves_per_sec / 4.35.
+
+Flags: --cpu (debug on CPU), --batch B, --repeats R, --quick (tiny batch).
+"""
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--tol", type=float, default=1e-4)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mcp_tpu.bench import harness
+    from mcp_tpu.bench import lane_change as lc
+
+    batch = 16 if args.quick else args.batch
+    bench = lc.generate_test_problem(horizon=10)
+    key = jax.random.PRNGKey(1)  # seeded like path.jl:14 (MersenneTwister(1))
+    thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
+
+    stats = harness.benchmark_batched(
+        bench.parametric_game.mcp,
+        thetas,
+        repeats=args.repeats,
+        tol=args.tol,
+    )
+
+    baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
+    out = {
+        "metric": "lane_change_mcp_solves_per_sec",
+        "value": round(stats["solves_per_sec"], 3),
+        "unit": "solves/s",
+        "vs_baseline": round(stats["solves_per_sec"] / baseline_solves_per_sec, 2),
+        "batch_size": stats["batch_size"],
+        "success_rate": round(stats["success_rate"], 4),
+        "median_outer_iters": stats["median_outer_iters"],
+        "best_batch_time_s": round(stats["best_batch_time_s"], 4),
+        "tol": args.tol,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Benchmark harness: success rate, μ±σ runtimes, and batched throughput.
+
+Shape-parity with the reference's harness (benchmark/path.jl:2-126): generate
+one problem + num_samples random θ, warm both solve paths up, time each
+solve, report success rate and mean/std of successful runtimes. The PATH
+solver is closed-source and absent here (SURVEY.md §2.3); the comparison
+axes are instead (a) sequential single solves — the reference's execution
+model — vs (b) the TPU-native batched/vmapped path, plus solves/s and median
+IP iteration counts (BASELINE.json metrics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mcp import PrimalDualMCP
+from ..parallel.batch import batch_statistics, solve_batch
+from ..solver import SolverOptions
+from .. import diff as _diff
+
+
+def summary_statistics(elapsed: np.ndarray, success: np.ndarray) -> dict:
+    """Success rate + mean/std of *successful* runtimes
+    (benchmark/path.jl:101-126)."""
+    ok = success.astype(bool)
+    succeeded = elapsed[ok]
+    return {
+        "num_samples": int(len(elapsed)),
+        "success_rate": float(ok.mean()) if len(elapsed) else 0.0,
+        "mean_time_s": float(succeeded.mean()) if len(succeeded) else float("nan"),
+        "std_time_s": float(succeeded.std()) if len(succeeded) else float("nan"),
+    }
+
+
+def benchmark_sequential(
+    mcp: PrimalDualMCP,
+    thetas,
+    *,
+    options: Optional[SolverOptions] = None,
+    **option_overrides,
+) -> dict:
+    """One-at-a-time jitted solves, timed per instance — the reference's
+    execution model (benchmark/path.jl:78-87)."""
+    if options is None:
+        options = SolverOptions(**option_overrides)
+    thetas = jnp.asarray(thetas)
+    # Warm up (compile) on the first sample (path.jl:66-75).
+    _diff.solve(mcp, thetas[0], options=options).x.block_until_ready()
+    elapsed, success = [], []
+    for i in range(thetas.shape[0]):
+        t0 = time.perf_counter()
+        sol = _diff.solve(mcp, thetas[i], options=options)
+        sol.x.block_until_ready()
+        elapsed.append(time.perf_counter() - t0)
+        success.append(int(sol.status) == 0)
+    stats = summary_statistics(np.asarray(elapsed), np.asarray(success))
+    stats["solves_per_sec"] = (
+        stats["num_samples"] / float(np.sum(elapsed)) if elapsed else float("nan")
+    )
+    return stats
+
+
+def benchmark_batched(
+    mcp: PrimalDualMCP,
+    thetas,
+    *,
+    repeats: int = 3,
+    options: Optional[SolverOptions] = None,
+    **option_overrides,
+) -> dict:
+    """Whole-batch vmapped solve, timed over `repeats` runs after a compile
+    warm-up. Reports solves/s + per-instance convergence statistics."""
+    if options is None:
+        options = SolverOptions(**option_overrides)
+    thetas = jnp.asarray(thetas)
+    B = thetas.shape[0]
+    # Warm-up/compile.
+    result = solve_batch(mcp, thetas, options=options)
+    result.x.block_until_ready()
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        result = solve_batch(mcp, thetas, options=options)
+        result.x.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    stats = batch_statistics(result)
+    stats.update(
+        {
+            "batch_size": B,
+            "best_batch_time_s": best,
+            "mean_batch_time_s": float(np.mean(times)),
+            "solves_per_sec": B / best,
+        }
+    )
+    return stats

@@ -1,0 +1,91 @@
+"""Batched-vs-single consistency (`vmap` parity) and sharded-mesh execution
+on the 8-device virtual CPU mesh (SURVEY.md §4 calls these out as tests the
+reference lacks entirely)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mcp_tpu
+from mcp_tpu import PrimalDualMCP
+from mcp_tpu.parallel import (
+    batch_statistics,
+    make_batch_mesh,
+    solve_batch,
+    solve_batch_sharded,
+)
+
+M = jnp.array([[2.0, 1.0], [1.0, 2.0]])
+A = jnp.eye(2)
+b = jnp.array([1.0, 1.0])
+
+
+def make_mcp():
+    return PrimalDualMCP.from_gh(
+        lambda x, y, t: M @ x - t - A.T @ y,
+        lambda x, y, t: A @ x - b,
+        unconstrained_dimension=2,
+        constrained_dimension=2,
+        parameter_dimension=2,
+    )
+
+
+def theta_batch(B):
+    key = jax.random.PRNGKey(0)
+    return jax.random.normal(key, (B, 2), dtype=jnp.float64)
+
+
+class TestVmapParity:
+    def test_batched_matches_single(self):
+        mcp = make_mcp()
+        thetas = theta_batch(8)
+        batched = solve_batch(mcp, thetas)
+        for i in range(8):
+            single = mcp_tpu.solve(mcp, thetas[i])
+            np.testing.assert_allclose(batched.x[i], single.x, atol=1e-10)
+            np.testing.assert_allclose(batched.y[i], single.y, atol=1e-10)
+            assert int(batched.status[i]) == int(single.status)
+            assert int(batched.outer_iters[i]) == int(single.outer_iters)
+
+    def test_batched_gradients(self):
+        mcp = make_mcp()
+        thetas = theta_batch(4)
+
+        def loss(ts):
+            sol = solve_batch(mcp, ts)
+            return jnp.sum(sol.x**2)
+
+        g = jax.grad(loss)(thetas)
+        assert g.shape == thetas.shape
+        # Per-lane gradient equals the single-instance gradient.
+        g0 = jax.grad(lambda t: jnp.sum(mcp_tpu.solve(mcp, t).x ** 2))(thetas[0])
+        np.testing.assert_allclose(g[0], g0, atol=1e-8)
+
+    def test_batch_statistics(self):
+        mcp = make_mcp()
+        stats = batch_statistics(solve_batch(mcp, theta_batch(8)))
+        assert stats["num_instances"] == 8
+        assert 0.0 <= stats["success_rate"] <= 1.0
+        assert stats["median_outer_iters"] >= 1
+
+
+class TestShardedMesh:
+    def test_sharded_matches_unsharded(self):
+        mcp = make_mcp()
+        mesh = make_batch_mesh()
+        assert mesh.devices.size == 8
+        thetas = theta_batch(16)
+        sharded, num_solved = solve_batch_sharded(mcp, thetas, mesh=mesh)
+        local = solve_batch(mcp, thetas)
+        np.testing.assert_allclose(sharded.x, local.x, atol=1e-10)
+        np.testing.assert_allclose(sharded.kkt_error, local.kkt_error, atol=1e-10)
+        assert int(num_solved) == int(jnp.sum(local.status == 0))
+
+    def test_batch_divisibility_error(self):
+        mcp = make_mcp()
+        mesh = make_batch_mesh()
+        try:
+            solve_batch_sharded(mcp, theta_batch(10), mesh=mesh)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "divisible" in str(e)
