@@ -31,6 +31,9 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
+    # "schur" is exact for KKT-derived MCPs (Hy ≡ 0, see linalg.py) and
+    # factorizes n×n=200² instead of (n+m)×(n+m)=450².
+    parser.add_argument("--tier", default="schur")
     args = parser.parse_args()
 
     import jax
@@ -52,6 +55,7 @@ def main() -> None:
         thetas,
         repeats=args.repeats,
         tol=args.tol,
+        linear_solver=args.tier,
     )
 
     baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
@@ -64,6 +68,7 @@ def main() -> None:
         "success_rate": round(stats["success_rate"], 4),
         "median_outer_iters": stats["median_outer_iters"],
         "best_batch_time_s": round(stats["best_batch_time_s"], 4),
+        "max_kkt_error_solved": float(f"{stats['max_kkt_error_solved']:.3g}"),
         "tol": args.tol,
         "device": str(jax.devices()[0]),
     }

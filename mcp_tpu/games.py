@@ -297,6 +297,11 @@ def solve_game(
         theta = jnp.asarray(theta)
         if theta.ndim != 1:
             theta = theta.reshape(-1)
+    # Game-stacked MCPs have Hy ≡ 0 by construction (H rows are private/shared
+    # inequality constraints of the primal x only), so the doubly-condensed
+    # "schur" Newton tier (linalg.py) is exact and substantially faster.
+    if options is None and "linear_solver" not in option_overrides:
+        option_overrides["linear_solver"] = "schur"
     sol = _diff.solve(
         game.mcp, theta, x0=x0, y0=y0, s0=s0, options=options, **option_overrides
     )

@@ -84,6 +84,31 @@ class PrimalDualMCP:
         g, h = self.gh(x, y, theta)
         return g, h - s, s * y - epsilon
 
+    def gh_linearized(self, x: Array, y: Array, theta: Array):
+        """One fused pass: (G, H) values AND their Jacobians w.r.t. (x, y).
+
+        Uses ``jax.linearize`` so the primal evaluation is shared between the
+        residual and the (n+m)-seed forward-mode Jacobian — the solver's
+        per-iteration F/∇F pair costs one trace instead of two
+        (the reference evaluates compiled F! and ∇F_z! separately,
+        src/solver.jl:79-80).
+
+        Returns (g, h, Gx, Gy, Hx, Hy).
+        """
+        n = self.unconstrained_dimension
+        m = self.constrained_dimension
+
+        def stacked(w):
+            g, h = self.gh(w[:n], w[n:], theta)
+            return jnp.concatenate([g, h])
+
+        w0 = jnp.concatenate([x, y])
+        val, jvp = jax.linearize(stacked, w0)
+        # Row i of `cols` is J @ e_i, i.e. column i of J.
+        cols = jax.vmap(jvp)(jnp.eye(n + m, dtype=w0.dtype))
+        J = cols.T
+        return val[:n], val[n:], J[:n, :n], J[:n, n:], J[n:, :n], J[n:, n:]
+
     def gh_jacobians(self, x: Array, y: Array, theta: Array):
         """Jacobians of (G, H) w.r.t. (x, y), by forward-mode tracing.
 

@@ -44,7 +44,8 @@ class MaskedGameRunner:
     parametric_game: ParametricGame
     N: int
     horizon: int
-    options: SolverOptions = SolverOptions()
+    # Game MCPs have Hy ≡ 0 → the n×n "schur" Newton tier is exact.
+    options: SolverOptions = SolverOptions(linear_solver="schur")
 
     @staticmethod
     def create(
@@ -56,7 +57,7 @@ class MaskedGameRunner:
             parametric_game=pg,
             N=N,
             horizon=horizon,
-            options=options or SolverOptions(),
+            options=options or SolverOptions(linear_solver="schur"),
         )
 
     # -- θ packing (parametric_masked_game_solver.jl:19) ---------------------

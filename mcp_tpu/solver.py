@@ -62,25 +62,45 @@ class SolverOptions:
     # (rank-revealing, the analog of the reference's pivoted QR,
     # src/AutoDiff.jl:39).
     sensitivity_solver: str = "lu"
+    # TPU matmul precision for the Newton iteration. TPUs default f32
+    # matmuls to bfloat16 passes, which corrupts Newton steps enough to
+    # ~4x the outer-iteration count; "highest" restores full f32 and the
+    # CPU-equivalent 7-9 outer iterations. "high" (3-pass) is a middle tier
+    # worth benchmarking.
+    matmul_precision: str = "highest"
 
 
 def fraction_to_the_boundary_linesearch(
     v: Array, dv: Array, *, tau: float, decay: float, min_stepsize: float
 ) -> Array:
-    """α = max power-of-`decay` in (min_stepsize, 1] with v + α·δ ≥ (1-τ)·v,
-    or NaN if none exists — an exact replica of the reference's backtracking
-    loop (src/solver.jl:127-138), as a bounded while_loop."""
-    one_minus_tau = 1.0 - tau
+    """α = the first power of `decay` in {1, decay, decay², …} satisfying
+    v + α·δ ≥ (1-τ)·v for all components, or NaN if none down to
+    min_stepsize does — exactly the reference's backtracking loop
+    (src/solver.jl:127-138), evaluated loop-free.
 
-    def violates(alpha):
-        return jnp.any(v + alpha * dv < one_minus_tau * v)
+    The candidate set is static: the reference halves from 1 and fails once
+    α drops below min_stepsize, so candidates are decay^k for
+    k = 0..K where decay^K is the first value < min_stepsize. Feasibility of
+    all candidates is one broadcasted (K+1, m) check and the answer is the
+    first feasible k — no data-dependent while_loop in the hot path (a
+    serial ~14-iteration loop per Newton step costs real wall-clock on TPU).
+    """
+    import math
 
-    alpha = lax.while_loop(
-        lambda a: violates(a) & (a >= min_stepsize),
-        lambda a: a * decay,
-        jnp.asarray(1.0, dtype=v.dtype),
-    )
-    return jnp.where(violates(alpha), jnp.nan, alpha)
+    # K = first k with decay^k < min_stepsize (the reference tests that
+    # candidate too: the `α < tol` check happens after the violation test).
+    K = max(0, math.ceil(math.log(min_stepsize) / math.log(decay)))
+    while decay**K >= min_stepsize:  # guard rounding at the boundary
+        K += 1
+    candidates = jnp.asarray(
+        [decay**k for k in range(K + 1)], dtype=v.dtype
+    )  # (K+1,)
+    # feasible[k] ⟺ all_i( candidates[k]·δ_i ≥ -τ·v_i )
+    lhs = candidates[:, None] * dv[None, :]
+    feasible = jnp.all(lhs >= -tau * v[None, :], axis=1)
+    first = jnp.argmax(feasible)  # index of first True (0 if none)
+    any_feasible = jnp.any(feasible)
+    return jnp.where(any_feasible, candidates[first], jnp.nan)
 
 
 def ip_solve(
@@ -93,6 +113,18 @@ def ip_solve(
 ) -> SolveResult:
     """One interior-point solve. Pure, shape-static, vmap-able over
     (theta, x0, y0, s0). Not differentiable — use diff.solve for that."""
+    with jax.default_matmul_precision(options.matmul_precision):
+        return _ip_solve_body(mcp, options, theta, x0, y0, s0)
+
+
+def _ip_solve_body(
+    mcp: PrimalDualMCP,
+    options: SolverOptions,
+    theta: Array,
+    x0: Array,
+    y0: Array,
+    s0: Array,
+) -> SolveResult:
     newton_step = NEWTON_STEPS[options.linear_solver]
     tol = options.tol
     dtype = x0.dtype
@@ -100,10 +132,14 @@ def ip_solve(
     def inner_body(carry):
         x, y, s, kkt_error, inner, failed, eps = carry
 
-        # The solve runs in the iterate dtype regardless of problem-data
-        # dtype (f64 data must not promote an f32 TPU solve's carry).
-        rG, rH, rC = (r.astype(dtype) for r in mcp.F_parts(x, y, s, theta, eps))
-        Gx, Gy, Hx, Hy = (J.astype(dtype) for J in mcp.gh_jacobians(x, y, theta))
+        # Fused residual + Jacobian evaluation (one linearize pass). The
+        # solve runs in the iterate dtype regardless of problem-data dtype
+        # (f64 data must not promote an f32 TPU solve's carry).
+        g, h, Gx, Gy, Hx, Hy = mcp.gh_linearized(x, y, theta)
+        rG = g.astype(dtype)
+        rH = (h - s).astype(dtype)
+        rC = (s * y - eps).astype(dtype)
+        Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
         dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
 
         # Linear-solve failure detection: the reference checks the LinearSolve

@@ -74,7 +74,7 @@ def newton(x, y, s, thetas):
 
 @jax.jit
 def lu_only(A, b):
-    return jnp.linalg.solve(A, b)
+    return jnp.linalg.solve(A, b[..., None])[..., 0]
 
 
 timeit("residual F", residual, x, y, s, thetas)
