@@ -27,13 +27,20 @@ import sys
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--suite",
+        default="lane_change",
+        choices=["lane_change", "qp"],
+        help="lane_change (driver metric) or the random-QP suite "
+        "(benchmark/quadratic_program_benchmark.jl protocol)",
+    )
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
     # "schur" is exact for KKT-derived MCPs (Hy ≡ 0, see linalg.py) and
     # factorizes n×n=200² instead of (n+m)×(n+m)=450².
-    parser.add_argument("--tier", default="schur")
+    parser.add_argument("--tier", default="schur_pallas")
     args = parser.parse_args()
 
     import jax
@@ -46,12 +53,24 @@ def main() -> None:
     from mcp_tpu.bench import lane_change as lc
 
     batch = 16 if args.quick else args.batch
-    bench = lc.generate_test_problem(horizon=10)
     key = jax.random.PRNGKey(1)  # seeded like path.jl:14 (MersenneTwister(1))
-    thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
+    if args.suite == "qp":
+        # Reference protocol: 100 random sparse convex QPs, 100 primals +
+        # 100 inequalities, sparsity 0.9 (benchmark/path.jl:5-17).
+        from mcp_tpu.bench import qp
+
+        problem = qp.generate_test_problem()
+        mcp = problem.mcp
+        thetas = qp.generate_parameter_batch(key, batch, dtype=jnp.float32)
+        metric_name = "qp_mcp_solves_per_sec"
+    else:
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
+        metric_name = "lane_change_mcp_solves_per_sec"
 
     stats = harness.benchmark_batched(
-        bench.parametric_game.mcp,
+        mcp,
         thetas,
         repeats=args.repeats,
         tol=args.tol,
@@ -60,7 +79,7 @@ def main() -> None:
 
     baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
     out = {
-        "metric": "lane_change_mcp_solves_per_sec",
+        "metric": metric_name,
         "value": round(stats["solves_per_sec"], 3),
         "unit": "solves/s",
         "vs_baseline": round(stats["solves_per_sec"] / baseline_solves_per_sec, 2),

@@ -53,9 +53,34 @@ def generate_scenarios(
     min_separation: float = 1.0,
     max_speed: float = 0.0,
     seed: int = 0,
+    backend: str = "auto",
 ) -> list[Scenario]:
     """Random initial states/goals with pairwise minimum separation, by
-    rejection sampling (scripts/data_generation.py:20-47)."""
+    rejection sampling (scripts/data_generation.py:20-47).
+
+    backend: "native" (C++ sampler, mcp_tpu/native), "python", or "auto"
+    (native when the toolchain is available, else python).
+    """
+    if backend in ("auto", "native"):
+        from ..native import generate_scenarios_native
+
+        out = generate_scenarios_native(
+            num_scenarios=num_scenarios,
+            num_players=num_players,
+            arena_half_width=arena_half_width,
+            min_separation=min_separation,
+            max_speed=max_speed,
+            seed=seed,
+        )
+        if out is not None:
+            states, goals = out
+            return [
+                Scenario(initial_states=states[i], goals=goals[i])
+                for i in range(states.shape[0])
+            ]
+        if backend == "native":
+            raise RuntimeError("native scenario generator unavailable")
+
     rng = np.random.default_rng(seed)
     scenarios = []
 
