@@ -34,7 +34,9 @@ def main() -> None:
         help="lane_change (driver metric) or the random-QP suite "
         "(benchmark/quadratic_program_benchmark.jl protocol)",
     )
-    parser.add_argument("--batch", type=int, default=256)
+    # Batch 64 saturates one v5e chip for the lane-change problem size
+    # (measured: 149-162 solves/s at 64 vs 133 at 256).
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)

@@ -1,6 +1,7 @@
 """Metrics, plots, and stand-alone experiments (the reference's scripts/
 analysis suite plus the time/gradient probes, SURVEY.md §2.2 C21-C22)."""
 
+from .animate import animate_result
 from .experiments import mask_loss_landscape, n_scaling_experiment
 from .metrics import (
     analyze_result,
@@ -15,6 +16,7 @@ from .metrics import (
 from .plots import loss_curves_plot, loss_landscape_plot, radar_plot, time_scaling_plot
 
 __all__ = [
+    "animate_result",
     "mask_loss_landscape",
     "n_scaling_experiment",
     "analyze_result",

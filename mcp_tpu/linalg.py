@@ -133,6 +133,24 @@ def newton_step_schur_pallas(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
 
+def newton_step_gmres(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
+    """Iterative (GMRES) Newton step on the schur-condensed system — the
+    counterpart of the reference's selectable KrylovJL_GMRES linear solver
+    (src/MixedComplementarityProblems.jl:8, src/solver.jl:33). Useful when
+    the n×n factorization dominates and a loose inner solve suffices."""
+    A, b, b2, w, d = _schur_system(Gx, Gy, Hx, y, s, rG, rH, rC, reg)
+    n = b.shape[0]
+    dx, _ = jax.scipy.sparse.linalg.gmres(
+        lambda v: A @ v,
+        b,
+        tol=1e-8,
+        restart=min(n, 50),
+        maxiter=5,
+        solve_method="batched",
+    )
+    return _schur_recover(dx, Hx, b2, w, d, s, rC)
+
+
 def schur_assumption_violation(mcp, x, y, theta) -> float:
     """Max |∂H/∂y| — must be 0 for the "schur" tier to be exact."""
     import jax
@@ -146,6 +164,7 @@ NEWTON_STEPS = {
     "condensed": newton_step_condensed,
     "schur": newton_step_schur,
     "schur_pallas": newton_step_schur_pallas,
+    "gmres": newton_step_gmres,
 }
 
 

@@ -26,6 +26,8 @@ from .games import (
 from .loss import clamp_cotangent, composite_loss
 from .model import MLPParams, apply_mlp, init_mlp, input_size, prepare_input
 from .runner import MaskedGameRunner, generate_ground_truth
+from .subgame import solve_subgames
+from . import real_data
 from .train import TrainConfig, load_checkpoint, save_checkpoint, train
 
 __all__ = [
@@ -57,6 +59,8 @@ __all__ = [
     "input_size",
     "prepare_input",
     "MaskedGameRunner",
+    "solve_subgames",
+    "real_data",
     "generate_ground_truth",
     "TrainConfig",
     "load_checkpoint",
