@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _qr_solve_kernel(a_ref, b_ref, out_ref, r_scratch, *, n: int):
+def _qr_solve_kernel(a_ref, b_ref, out_ref, *, n: int):
     """In-VMEM Householder-QR solve of A x = b for one batch tile."""
     A = a_ref[...]  # (TB, n, n)
     b = b_ref[...]  # (TB, n)
@@ -60,7 +60,16 @@ def _qr_solve_kernel(a_ref, b_ref, out_ref, r_scratch, *, n: int):
         uu = jnp.sum(u * u, axis=1, keepdims=True)
         beta = jnp.where(uu > eps, 2.0 / (uu + eps), 0.0)
         # A <- A - beta u (uᵀ A);  b <- b - beta u (uᵀ b)
-        w = jnp.sum(u[:, :, None] * A, axis=1)  # (TB, n)
+        # uᵀA as a batched MXU matvec: a VPU sublane-axis reduction over n
+        # rows is ~25 shifted adds per vreg, while the MXU does the (1, n) @
+        # (n, n) contraction directly (M-padding waste included, it measures
+        # several times faster in-kernel).
+        w = jax.lax.dot_general(
+            u[:, None, :],
+            A,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+        )[:, 0, :]  # (TB, n)
         A = A - (beta[:, :, None] * u[:, :, None]) * w[:, None, :]
         ub = jnp.sum(u * b, axis=1, keepdims=True)
         b = b - (beta * ub) * u
@@ -69,15 +78,18 @@ def _qr_solve_kernel(a_ref, b_ref, out_ref, r_scratch, *, n: int):
     A, b = lax.fori_loop(0, n, reflect, (A, b))
 
     # Back substitution on the upper-triangular R: x_k = (b_k - R[k,k+1:]·x)/R[k,k].
-    # Mosaic has no dynamic_slice on loop-carried values, so R is parked in a
-    # VMEM scratch ref and rows are read back with pl.ds (cheap sublane index).
-    r_scratch[...] = A
+    # Mosaic has no dynamic_slice on loop-carried values, so R is parked back
+    # in the input ref (its VMEM working copy — never written to HBM) and
+    # rows are read with pl.ds (cheap sublane index). Reusing a_ref instead
+    # of a scratch buffer halves the kernel's VMEM footprint, allowing
+    # batch_tile=32 within the 16 MB budget.
+    a_ref[...] = A
     x0 = jnp.zeros_like(b)
 
     def backsub(i, x):
         k = n - 1 - i
         onehot_l = (lane[0] == k).astype(dtype)  # (1, n)
-        row_k = r_scratch[:, pl.ds(k, 1), :][:, 0, :]  # (TB, n)
+        row_k = a_ref[:, pl.ds(k, 1), :][:, 0, :]  # (TB, n)
         rkk = jnp.sum(row_k * onehot_l, axis=1, keepdims=True)
         bk = jnp.sum(b * onehot_l, axis=1, keepdims=True)
         dot = jnp.sum(row_k * x, axis=1, keepdims=True)  # x is 0 at j <= k
@@ -147,7 +159,6 @@ def pallas_gauss_solve(
             (batch_tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, n), A.dtype),
-        scratch_shapes=[pltpu.VMEM((batch_tile, n, n), A.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=6 * B * n * n * n,  # QR ≈ 2x LU + back-substitution
             bytes_accessed=B * n * n * 4 + 2 * B * n * 4,

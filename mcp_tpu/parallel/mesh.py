@@ -32,6 +32,15 @@ Array = jax.Array
 BATCH_AXIS = "batch"
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host entry: initialize the JAX distributed runtime so
+    jax.devices() spans all hosts of the slice; call once per process before
+    building meshes. Thin wrapper over jax.distributed.initialize (kwargs:
+    coordinator_address, num_processes, process_id — auto-detected on TPU
+    pods)."""
+    jax.distributed.initialize(**kwargs)
+
+
 def make_batch_mesh(devices=None, *, axis_name: str = BATCH_AXIS) -> Mesh:
     """1-D mesh over all (or given) devices for batch-parallel solving."""
     import numpy as np

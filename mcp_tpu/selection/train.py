@@ -98,9 +98,14 @@ class MetricsLogger:
             self._tb.close()
 
 
-def save_checkpoint(path: str, params: MLPParams, config: TrainConfig, extra=None):
+def save_checkpoint(
+    path: str, params: MLPParams, config: TrainConfig, extra=None, backend: str = "pickle"
+):
     """Model checkpointing (the reference saves Flux models to BSON,
-    train_with_validation.jl:131,146)."""
+    train_with_validation.jl:131,146). backend "orbax" writes an Orbax
+    StandardCheckpointer directory at `path + '.orbax'` in addition to the
+    pickle (SURVEY.md §5 suggests orbax-style checkpointing as the TPU
+    equivalent)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(
@@ -112,6 +117,16 @@ def save_checkpoint(path: str, params: MLPParams, config: TrainConfig, extra=Non
             },
             f,
         )
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.abspath(path) + ".orbax",
+            {"weights": list(params.weights), "biases": list(params.biases)},
+            force=True,
+        )
+        ckptr.wait_until_finished()
 
 
 def load_checkpoint(path: str) -> tuple[MLPParams, dict]:

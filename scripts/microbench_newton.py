@@ -94,6 +94,23 @@ with jax.default_matmul_precision("highest"):
 
     timeit(f"jnp.linalg.solve {n}x{n} only", lu_body, (x, y, s))
 
+    # 3b. pallas QR solve only
+    from mcp_tpu.kernels.linear_solve import pallas_gauss_solve
+
+    def pallas_body(i, c):
+        x, y, s = c
+        dx = pallas_gauss_solve(A + i * 0.0, b)
+        return (x + 1e-12 * dx * 0, y, s)
+
+    timeit(f"pallas QR solve {n}x{n} (tile 16)", pallas_body, (x, y, s))
+
+    def pallas_body32(i, c):
+        x, y, s = c
+        dx = pallas_gauss_solve(A + i * 0.0, b, batch_tile=32)
+        return (x + 1e-12 * dx * 0, y, s)
+
+    timeit(f"pallas QR solve {n}x{n} (tile 32)", pallas_body32, (x, y, s))
+
     # 4. matmul reference: one n x n @ n x n batched matmul
     def mm_body(i, c):
         x, y, s = c
