@@ -66,6 +66,15 @@ def benchmark_sequential(
     return stats
 
 
+def relative_runtime(stats_a: dict, stats_b: dict) -> str:
+    """"A runtime is X% that of B" — the reference's headline comparison line
+    (benchmark/path.jl:108), applied to any two stats dicts with
+    mean_time_s or per-solve timing."""
+    a = stats_a.get("mean_time_s") or 1.0 / stats_a["solves_per_sec"]
+    b = stats_b.get("mean_time_s") or 1.0 / stats_b["solves_per_sec"]
+    return f"first runtime is {100.0 * a / b:.1f}% that of second"
+
+
 def benchmark_batched(
     mcp: PrimalDualMCP,
     thetas,

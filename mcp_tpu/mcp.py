@@ -63,6 +63,10 @@ class PrimalDualMCP:
     parameter_dimension: int
     compute_sensitivities: bool = True
     GH: Optional[Callable[[Array, Array, Array], tuple[Array, Array]]] = None
+    # Optional static time-major block-tridiagonal structure of the
+    # schur-condensed Newton system (set by the trajectory-game builder;
+    # enables the "tridiag" linear-solver tier). kernels/block_tridiag.py.
+    time_structure: Optional[object] = None
 
     # -- residual assembly ---------------------------------------------------
 

@@ -62,6 +62,27 @@ MODE_PARAMETERS_N10 = {
 }
 
 
+
+
+def _model_scores(model, input_traj) -> np.ndarray:
+    """Run the NN mask model with an informative error on input-size
+    mismatch: "Partial" modes feed positions-only histories
+    (input_state_dim=2), non-partial modes feed full states (4) — the model
+    must have been trained with the matching input_state_dim (the reference
+    has the same constraint: its real-data eval uses only Partial modes,
+    test_real_data.jl)."""
+    x = np.asarray(input_traj)
+    try:
+        return np.asarray(model(x))
+    except Exception as e:
+        raise ValueError(
+            f"NN mask model failed on input of length {x.size}. Partial "
+            f"modes feed input_state_dim=2 histories, non-Partial modes "
+            f"feed full 4-dim states; select the mode family matching the "
+            f"trained model's input size."
+        ) from e
+
+
 def _top_k_mask(scores: np.ndarray, k: int, *, largest: bool) -> np.ndarray:
     """Binary mask selecting the reference's `1:mode_parameter-1` top entries
     — i.e. k-1 players (test_receding_horizon.jl:63-65 et al.)."""
@@ -110,7 +131,7 @@ def mask_computation(
             return mask_computation(
                 input_traj, trajectory, control, "Distance Threshold", sim_step, 2
             )
-        scores = np.asarray(model(np.asarray(input_traj)))
+        scores = _model_scores(model, input_traj)
         return (scores > mode_parameter).astype(float)
 
     if mode in ("Neural Network Rank", "Neural Network Partial Rank"):
@@ -118,7 +139,7 @@ def mask_computation(
             return mask_computation(
                 input_traj, trajectory, control, "Nearest Neighbor", sim_step, mode_parameter
             )
-        scores = np.asarray(model(np.asarray(input_traj)))
+        scores = _model_scores(model, input_traj)
         return _top_k_mask(scores, int(mode_parameter), largest=True)
 
     if mode == "Distance Threshold":

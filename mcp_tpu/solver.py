@@ -68,6 +68,9 @@ class SolverOptions:
     # CPU-equivalent 7-9 outer iterations. "high" (3-pass) is a middle tier
     # worth benchmarking.
     matmul_precision: str = "highest"
+    # Debug printing of step failures from inside the compiled loop
+    # (the reference's `verbose` kwarg, src/solver.jl:49,85,97).
+    verbose: bool = False
 
 
 def fraction_to_the_boundary_linesearch(
@@ -125,7 +128,19 @@ def _ip_solve_body(
     y0: Array,
     s0: Array,
 ) -> SolveResult:
-    newton_step = NEWTON_STEPS[options.linear_solver]
+    if options.linear_solver == "tridiag":
+        if mcp.time_structure is None:
+            raise ValueError(
+                "linear_solver='tridiag' requires an MCP with time_structure "
+                "(built by build_parametric_game for trajectory games)."
+            )
+        from .linalg import newton_step_tridiag
+
+        newton_step = functools.partial(
+            newton_step_tridiag, structure=mcp.time_structure
+        )
+    else:
+        newton_step = NEWTON_STEPS[options.linear_solver]
     tol = options.tol
     dtype = x0.dtype
 
@@ -164,6 +179,18 @@ def _ip_solve_body(
         ls_failed = jnp.isnan(alpha_s) | jnp.isnan(alpha_y)
 
         step_failed = lin_failed | ls_failed
+        if options.verbose:
+            lax.cond(
+                step_failed,
+                lambda: jax.debug.print(
+                    "inner step failed (linear={lin}, linesearch={ls}) at eps={eps}",
+                    lin=lin_failed,
+                    ls=ls_failed,
+                    eps=eps,
+                    ordered=False,
+                ),
+                lambda: None,
+            )
         # The reference breaks *before* applying the update and before
         # refreshing kkt_error / inner count (src/solver.jl:84-105).
         a_s = jnp.where(step_failed, 0.0, alpha_s).astype(dtype)

@@ -108,15 +108,87 @@ def build_shared_inequality(game: TrajectoryGame, horizon: int):
     return shared_inequality
 
 
+def build_time_structure(game: TrajectoryGame, horizon: int):
+    """Time-major permutation of the unconstrained variables [τ; λ̃].
+
+    Block t gathers [x_{i,t} ∀i; u_{i,t} ∀i; λ̃ rows of step t] where λ̃
+    block 0 is the initial-state pin and block t≥1 the dynamics defect at t
+    (row order of build_shared_equality). Stage costs and per-time
+    inequality rows couple only within a block and defect duals couple
+    adjacent blocks, so the schur-condensed Newton matrix becomes block
+    tridiagonal in this ordering (SURVEY.md §5).
+    """
+    import numpy as np
+
+    from ..kernels.block_tridiag import TimeStructure
+
+    dynamics = game.dynamics
+    N = dynamics.num_players
+    sd = [dynamics.state_dim(i) for i in range(N)]
+    cd = [dynamics.control_dim(i) for i in range(N)]
+    sd_total, cd_total = sum(sd), sum(cd)
+    T = horizon
+    b = sd_total + cd_total + sd_total
+
+    player_offsets = np.cumsum([0] + [T * (sd[i] + cd[i]) for i in range(N)])
+    nx = int(player_offsets[-1])
+
+    perm = []
+    for t in range(T):
+        for i in range(N):  # states at t
+            base = player_offsets[i] + t * sd[i]
+            perm.extend(range(base, base + sd[i]))
+        for i in range(N):  # controls at t
+            base = player_offsets[i] + T * sd[i] + t * cd[i]
+            perm.extend(range(base, base + cd[i]))
+        # λ̃ rows for step t (initial pin at t=0, defect t otherwise)
+        base = nx + t * sd_total
+        perm.extend(range(base, base + sd_total))
+    return TimeStructure(permutation=tuple(perm), num_blocks=T, block_size=b)
+
+
+def validate_time_structure(pg: ParametricGame, structure) -> float:
+    """One-time numeric bandwidth check: off-tridiagonal mass of the schur
+    matrix at a pseudo-random point (returns the max |off-band| entry)."""
+    import numpy as np
+
+    from ..linalg import _schur_system
+
+    mcp = pg.mcp
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = 0.1 * jax.random.normal(k1, (n,))
+    y = 1.0 + 0.1 * jax.random.uniform(k2, (m,))
+    s = 1.0 + 0.1 * jax.random.uniform(k3, (m,))
+    theta = 0.1 * jax.random.normal(k4, (sum(pg.dims.theta),))
+    g, h, Gx, Gy, Hx, Hy = mcp.gh_linearized(x, y, theta)
+    A, *_ = _schur_system(Gx, Gy, Hx, y, s, g, h - s, s * y - 0.1, 1e-4)
+    perm = np.asarray(structure.permutation)
+    A_perm = np.asarray(A)[perm][:, perm]
+    T, b = structure.num_blocks, structure.block_size
+    A4 = A_perm.reshape(T, b, T, b).transpose(0, 2, 1, 3)  # (T, T, b, b)
+    mask = np.abs(np.arange(T)[:, None] - np.arange(T)[None, :]) > 1
+    return float(np.max(np.abs(A4[mask])) if mask.any() else 0.0)
+
+
 def build_parametric_game(
     *,
     game: TrajectoryGame,
     horizon: int = 10,
     params_per_player: int = 0,  # not counting the initial state, which is always a param
     compute_sensitivities: bool = True,
+    time_structure: bool = True,
 ) -> ParametricGame:
     """Compile a TrajectoryGame into a ParametricGame/MCP
-    (reference examples/utils.jl:53-84, :157-178)."""
+    (reference examples/utils.jl:53-84, :157-178).
+
+    When `time_structure` is set (default), the time-major block-tridiagonal
+    reordering of the Newton system is computed, numerically validated at a
+    test point, and attached to the MCP — enabling the "tridiag" linear
+    solver tier. Games with cross-time couplings fail validation and simply
+    don't get the structure (dense tiers still apply).
+    """
     dynamics = game.dynamics
     N = game.num_players
     primal_blocking = trajectory_blocking(dynamics, horizon)
@@ -129,7 +201,7 @@ def build_parametric_game(
         jnp.zeros(dynamics.state_dim(i) + params_per_player) for i in range(N)
     ]
 
-    return ParametricGame.create(
+    pg = ParametricGame.create(
         test_point=test_point,
         test_parameter=test_parameter,
         problems=problems,
@@ -137,3 +209,21 @@ def build_parametric_game(
         shared_inequality=build_shared_inequality(game, horizon),
         compute_sensitivities=compute_sensitivities,
     )
+
+    if time_structure:
+        structure = build_time_structure(game, horizon)
+        n = pg.mcp.unconstrained_dimension
+        if len(structure.permutation) == n:
+            offband = validate_time_structure(pg, structure)
+            if offband < 1e-8:
+                import dataclasses as _dc
+
+                mcp = _dc.replace(pg.mcp, time_structure=structure)
+                pg = ParametricGame(
+                    problems=pg.problems,
+                    shared_equality=pg.shared_equality,
+                    shared_inequality=pg.shared_inequality,
+                    dims=pg.dims,
+                    mcp=mcp,
+                )
+    return pg

@@ -1,0 +1,85 @@
+"""Tridiag-vs-schur tier comparison at two scales: the lane-change bench
+(n=200) and the reference-flagship masked game (N players, horizon 30,
+n = 30·10·N... e.g. N=4 → n=1200) where the reference measured 5.04 s per
+receding-horizon step on CPU (BASELINE.md)."""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--batch", type=int, default=16)
+parser.add_argument("--players", type=int, default=4)
+parser.add_argument("--horizon", type=int, default=30)
+parser.add_argument("--tiers", nargs="*", default=["schur", "tridiag"])
+parser.add_argument("--repeats", type=int, default=3)
+parser.add_argument("--skip-lane-change", action="store_true")
+args = parser.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+from mcp_tpu.bench import lane_change as lc
+from mcp_tpu.parallel.batch import batch_statistics, solve_batch
+from mcp_tpu.selection.games import setup_road_environment, setup_trajectory_game
+from mcp_tpu.selection.runner import MaskedGameRunner
+from mcp_tpu.solver import SolverOptions
+
+print("device:", jax.devices()[0])
+
+
+def bench(mcp, thetas, tier, x0=None, repeats=None):
+    repeats = repeats if repeats is not None else args.repeats
+    opts = SolverOptions(linear_solver=tier)
+    sol = solve_batch(mcp, thetas, x0=x0, options=opts)
+    jax.block_until_ready(sol.x)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sol = solve_batch(mcp, thetas, x0=x0, options=opts)
+        jax.block_until_ready(sol.x)
+        times.append(time.perf_counter() - t0)
+    stats = batch_statistics(sol)
+    B = thetas.shape[0]
+    print(
+        f"  {tier:10s}: {B / min(times):9.2f} solves/s  "
+        f"({min(times)*1e3:8.1f} ms/batch-{B})  success={stats['success_rate']:.2f} "
+        f"median_outer={stats['median_outer_iters']}"
+    )
+
+
+if not args.skip_lane_change:
+    print(f"— lane-change horizon 10 (n=200, batch {args.batch}) —")
+    lcb = lc.generate_test_problem(horizon=10)
+    thetas = lc.generate_parameter_batch(
+        jax.random.PRNGKey(1), args.batch, lcb, dtype=jnp.float32
+    )
+    for tier in args.tiers:
+        bench(lcb.parametric_game.mcp, thetas, tier)
+
+N, T = args.players, args.horizon
+print(f"— masked game N={N} horizon {T} (batch {args.batch}) —")
+env = setup_road_environment(length=10.0)
+game = setup_trajectory_game(environment=env, N=N)
+runner = MaskedGameRunner.create(game, N=N, horizon=T)
+mcp = runner.parametric_game.mcp
+print(
+    f"  n={mcp.unconstrained_dimension} m={mcp.constrained_dimension} "
+    f"time_structure={'yes' if mcp.time_structure else 'NO'}"
+)
+key = jax.random.PRNGKey(0)
+ang = jnp.linspace(0.0, 2 * jnp.pi, N, endpoint=False)
+base = jnp.stack([3.0 * jnp.cos(ang), 3.0 * jnp.sin(ang)], axis=1)
+init = jnp.concatenate([base, jnp.zeros((N, 2))], 1)[None].repeat(args.batch, 0).astype(jnp.float32)
+init = init + 0.05 * jax.random.normal(key, init.shape, jnp.float32)
+goals = (-base)[None].repeat(args.batch, 0).astype(jnp.float32)
+masks = jnp.ones((args.batch, N), jnp.float32)
+thetas = runner.pack_thetas(
+    init, goals, jnp.broadcast_to(masks[:, None, :], (args.batch, N, N))
+)
+x0 = runner.cold_starts(init)
+for tier in args.tiers:
+    bench(mcp, thetas, tier, x0=x0)

@@ -1,0 +1,99 @@
+"""Block-tridiagonal-in-time Newton tier tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcp_tpu.bench import lane_change as lc
+from mcp_tpu.kernels.block_tridiag import (
+    TimeStructure,
+    block_thomas_solve,
+    extract_blocks,
+    tridiag_solve_permuted,
+)
+from mcp_tpu.parallel.batch import solve_batch
+from mcp_tpu.solver import SolverOptions
+from mcp_tpu.trajectories.game_builder import validate_time_structure
+
+
+def random_block_tridiag(T, b, key=0):
+    k = jax.random.PRNGKey(key)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    diag = jax.random.normal(k1, (T, b, b)) + 3 * b * jnp.eye(b)[None]
+    lower = jax.random.normal(k2, (T - 1, b, b))
+    upper = jax.random.normal(k3, (T - 1, b, b))
+    rhs = jax.random.normal(k4, (T, b))
+    A = jnp.zeros((T * b, T * b))
+    for t in range(T):
+        A = A.at[t * b : (t + 1) * b, t * b : (t + 1) * b].set(diag[t])
+        if t > 0:
+            A = A.at[t * b : (t + 1) * b, (t - 1) * b : t * b].set(lower[t - 1])
+            A = A.at[(t - 1) * b : t * b, t * b : (t + 1) * b].set(upper[t - 1])
+    return A, diag, lower, upper, rhs
+
+
+class TestBlockThomas:
+    def test_matches_dense_solve(self):
+        T, b = 6, 4
+        A, diag, lower, upper, rhs = random_block_tridiag(T, b)
+        x = block_thomas_solve(diag, lower, upper, rhs)
+        x_ref = jnp.linalg.solve(A, rhs.reshape(-1))
+        np.testing.assert_allclose(x.reshape(-1), x_ref, atol=1e-8)
+
+    def test_extract_blocks_roundtrip(self):
+        T, b = 5, 3
+        A, diag, lower, upper, rhs = random_block_tridiag(T, b)
+        d2, l2, u2 = extract_blocks(A, T, b)
+        np.testing.assert_allclose(d2, diag)
+        np.testing.assert_allclose(l2, lower)
+        np.testing.assert_allclose(u2, upper)
+
+    def test_permuted_solve(self):
+        T, b = 4, 3
+        A, *_ , rhs = random_block_tridiag(T, b)
+        n = T * b
+        perm = np.random.default_rng(0).permutation(n)
+        # Build a matrix whose perm-ordering is tridiagonal: A_orig = Pᵀ A P
+        P = np.eye(n)[perm]
+        A_orig = jnp.asarray(P.T @ np.asarray(A) @ P)
+        r_orig = jnp.asarray(P.T @ np.asarray(rhs.reshape(-1)))
+        structure = TimeStructure(tuple(int(i) for i in perm), T, b)
+        x = tridiag_solve_permuted(A_orig, r_orig, structure)
+        x_ref = jnp.linalg.solve(A_orig, r_orig)
+        np.testing.assert_allclose(x, x_ref, atol=1e-8)
+
+
+class TestTridiagTier:
+    def test_lane_change_structure_validated(self):
+        bench = lc.generate_test_problem(horizon=10)
+        ts = bench.parametric_game.mcp.time_structure
+        assert ts is not None
+        assert ts.num_blocks == 10 and ts.block_size == 20
+        assert validate_time_structure(bench.parametric_game, ts) == 0.0
+
+    def test_full_solve_parity(self):
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        thetas = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        s1 = solve_batch(mcp, thetas, options=SolverOptions(linear_solver="schur"))
+        s2 = solve_batch(mcp, thetas, options=SolverOptions(linear_solver="tridiag"))
+        np.testing.assert_array_equal(s1.outer_iters, s2.outer_iters)
+        np.testing.assert_allclose(s1.x, s2.x, atol=1e-5)
+        assert np.all(np.asarray(s2.status) == 0)
+
+    def test_tier_requires_structure(self):
+        from mcp_tpu import PrimalDualMCP
+        import mcp_tpu
+
+        mcp = PrimalDualMCP.from_gh(
+            lambda x, y, t: x - t,
+            lambda x, y, t: x,
+            unconstrained_dimension=2,
+            constrained_dimension=2,
+            parameter_dimension=2,
+        )
+        with pytest.raises(ValueError, match="time_structure"):
+            mcp_tpu.solve(mcp, jnp.ones(2), linear_solver="tridiag")
