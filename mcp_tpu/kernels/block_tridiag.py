@@ -90,16 +90,116 @@ def block_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> A
     return xs_rev
 
 
-def tridiag_solve_permuted(A: Array, rhs: Array, structure: TimeStructure) -> Array:
+def block_cyclic_reduction_solve(
+    diag: Array, lower: Array, upper: Array, rhs: Array
+) -> Array:
+    """Solve the block-tridiagonal system by cyclic reduction.
+
+    Each level eliminates the odd-indexed blocks: for odd i,
+        x_i = D_i⁻¹ (r_i - L_i x_{i-1} - U_i x_{i+1}),
+    substituting into the even rows yields a half-size block-tridiagonal
+    system. ~log₂T levels of *batched* block ops (every level's inversions
+    and matmuls are data-parallel over blocks) versus Thomas' T-step serial
+    recursion — and the level structure maps onto a horizon-sharded mesh
+    with ppermute neighbor exchanges (SURVEY.md §5's ring-attention analog).
+
+    Implemented recursively at trace time (T is static); T may be any size
+    (odd tails handled by the recursion's base case).
+    """
+    T, b, _ = diag.shape
+    if T == 1:
+        return jnp.linalg.solve(diag[0], rhs[0])[None]
+    if T == 2:
+        A = jnp.block(
+            [[diag[0], upper[0]], [lower[0], diag[1]]]
+        )
+        x = jnp.linalg.solve(A, rhs.reshape(-1))
+        return x.reshape(2, b)
+
+    # Pad so the odd-block count covers the tail uniformly.
+    odd_idx = jnp.arange(1, T, 2)
+    even_idx = jnp.arange(0, T, 2)
+    To = int(odd_idx.shape[0])
+    Te = int(even_idx.shape[0])
+
+    zero = jnp.zeros((b, b), diag.dtype)
+    # For odd i: L_i couples to i-1 (always exists), U_i couples to i+1
+    # (missing when i == T-1).
+    D_odd = diag[odd_idx]  # (To, b, b)
+    L_odd = lower[odd_idx - 1]  # lower[i-1] is block (i, i-1)
+    U_odd = jnp.where(
+        (odd_idx + 1 < T)[:, None, None], upper[jnp.minimum(odd_idx, T - 2)], zero
+    )
+    r_odd = rhs[odd_idx]
+
+    # Solve D_i [L_i | U_i | r_i] in one batched call.
+    rhs_cat = jnp.concatenate([L_odd, U_odd, r_odd[:, :, None]], axis=2)
+    sol = jnp.linalg.solve(D_odd, rhs_cat)
+    DL, DU, Dr = sol[:, :, :b], sol[:, :, b : 2 * b], sol[:, :, 2 * b]
+
+    # Substitute into even rows j = 0, 2, ...:
+    #   D'_j = D_j - U_j·D_{j+1}⁻¹L_{j+1} - L_j·D_{j-1}⁻¹U_{j-1}
+    #   r'_j = r_j - U_j·D_{j+1}⁻¹r_{j+1} - L_j·D_{j-1}⁻¹r_{j-1}
+    #   L'_(j) couples to the previous even block: -L_j·D_{j-1}⁻¹L_{j-1}
+    #   U'_(j) couples to the next even block:    -U_j·D_{j+1}⁻¹U_{j+1}
+    def even_terms(j_pos):
+        j = even_idx[j_pos]
+        has_next = j + 1 < T
+        has_prev = j - 1 >= 0
+        U_j = jnp.where(has_next, upper[jnp.minimum(j, T - 2)], zero)
+        L_j = jnp.where(has_prev, lower[jnp.maximum(j - 1, 0)], zero)
+        # odd neighbor positions in the odd arrays
+        nxt = jnp.minimum(j // 2, To - 1)  # odd block j+1 is odd_idx[j//2]
+        prv = jnp.maximum(j // 2 - 1, 0)  # odd block j-1 is odd_idx[j//2 - 1]
+        DLn = jnp.where(has_next, DL[nxt], zero)
+        DUn = jnp.where(has_next, DU[nxt], zero)
+        Drn = jnp.where(has_next, Dr[nxt], jnp.zeros((b,), diag.dtype))
+        DLp = jnp.where(has_prev, DL[prv], zero)
+        DUp = jnp.where(has_prev, DU[prv], zero)
+        Drp = jnp.where(has_prev, Dr[prv], jnp.zeros((b,), diag.dtype))
+        D_new = diag[j] - U_j @ DLn - L_j @ DUp
+        r_new = rhs[j] - U_j @ Drn - L_j @ Drp
+        L_new = -(L_j @ DLp)
+        U_new = -(U_j @ DUn)
+        return D_new, L_new, U_new, r_new
+
+    D_e, L_e, U_e, r_e = jax.vmap(even_terms)(jnp.arange(Te))
+
+    x_even = block_cyclic_reduction_solve(D_e, L_e[1:], U_e[:-1], r_e)
+
+    # Back-substitute the odd blocks.
+    def odd_x(k):
+        j = odd_idx[k]
+        x_prev = x_even[j // 2]  # even block j-1
+        has_next = j + 1 < T
+        x_next = jnp.where(
+            has_next, x_even[jnp.minimum(j // 2 + 1, Te - 1)], jnp.zeros((b,), diag.dtype)
+        )
+        return Dr[k] - DL[k] @ x_prev - DU[k] @ x_next
+
+    x_odd = jax.vmap(odd_x)(jnp.arange(To))
+
+    x = jnp.zeros((T, b), diag.dtype)
+    x = x.at[even_idx].set(x_even).at[odd_idx].set(x_odd)
+    return x
+
+
+def tridiag_solve_permuted(
+    A: Array, rhs: Array, structure: TimeStructure, *, algorithm: str = "thomas"
+) -> Array:
     """Solve A x = rhs for one instance by permuting to time-major block
     tridiagonal form. Entries of A outside the tridiagonal band are ignored
     (they are structurally zero for trajectory-game schur systems; the
-    builder validates this once at compile time)."""
+    builder validates this once at compile time). algorithm: "thomas"
+    (T-step serial recursion) or "cr" (cyclic reduction, ~log T levels)."""
     perm = jnp.asarray(structure.permutation)
     T, b = structure.num_blocks, structure.block_size
     A_perm = A[perm][:, perm]
     r_perm = rhs[perm]
     diag, lower, upper = extract_blocks(A_perm, T, b)
-    x_perm = block_thomas_solve(diag, lower, upper, r_perm.reshape(T, b)).reshape(-1)
+    solver = (
+        block_cyclic_reduction_solve if algorithm == "cr" else block_thomas_solve
+    )
+    x_perm = solver(diag, lower, upper, r_perm.reshape(T, b)).reshape(-1)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0]))
     return x_perm[inv]

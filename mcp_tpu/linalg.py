@@ -151,7 +151,7 @@ def newton_step_gmres(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
 
-def newton_step_tridiag(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg, *, structure):
+def newton_step_tridiag(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg, *, structure, algorithm="thomas"):
     """Schur-condensed step solved by the time-major block-tridiagonal
     factorization (kernels/block_tridiag.py). Requires the MCP's
     time_structure (trajectory games; builder-validated bandwidth). At the
@@ -160,7 +160,7 @@ def newton_step_tridiag(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg, *, structure):
     from .kernels.block_tridiag import tridiag_solve_permuted
 
     A, b, b2, w, d = _schur_system(Gx, Gy, Hx, y, s, rG, rH, rC, reg)
-    dx = tridiag_solve_permuted(A, b, structure)
+    dx = tridiag_solve_permuted(A, b, structure, algorithm=algorithm)
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
 

@@ -128,7 +128,7 @@ def _ip_solve_body(
     y0: Array,
     s0: Array,
 ) -> SolveResult:
-    if options.linear_solver == "tridiag":
+    if options.linear_solver in ("tridiag", "tridiag_cr"):
         if mcp.time_structure is None:
             raise ValueError(
                 "linear_solver='tridiag' requires an MCP with time_structure "
@@ -137,7 +137,9 @@ def _ip_solve_body(
         from .linalg import newton_step_tridiag
 
         newton_step = functools.partial(
-            newton_step_tridiag, structure=mcp.time_structure
+            newton_step_tridiag,
+            structure=mcp.time_structure,
+            algorithm="cr" if options.linear_solver == "tridiag_cr" else "thomas",
         )
     else:
         newton_step = NEWTON_STEPS[options.linear_solver]

@@ -64,6 +64,31 @@ class TestBlockThomas:
         np.testing.assert_allclose(x, x_ref, atol=1e-8)
 
 
+class TestCyclicReduction:
+    @pytest.mark.parametrize("T", [3, 4, 5, 8, 13])
+    def test_matches_thomas(self, T):
+        from mcp_tpu.kernels.block_tridiag import block_cyclic_reduction_solve
+
+        b = 4
+        A, diag, lower, upper, rhs = random_block_tridiag(T, b, key=T)
+        x_cr = block_cyclic_reduction_solve(diag, lower, upper, rhs)
+        x_th = block_thomas_solve(diag, lower, upper, rhs)
+        np.testing.assert_allclose(x_cr, x_th, atol=1e-7)
+
+    def test_cr_tier_full_solve(self):
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        thetas = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 2, bench, dtype=jnp.float32
+        )
+        s1 = solve_batch(mcp, thetas, options=SolverOptions(linear_solver="tridiag"))
+        s2 = solve_batch(
+            mcp, thetas, options=SolverOptions(linear_solver="tridiag_cr")
+        )
+        np.testing.assert_array_equal(s1.outer_iters, s2.outer_iters)
+        np.testing.assert_allclose(s1.x, s2.x, atol=1e-5)
+
+
 class TestTridiagTier:
     def test_lane_change_structure_validated(self):
         bench = lc.generate_test_problem(horizon=10)
