@@ -65,18 +65,69 @@ def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
     # regularization — exactly as the reference sensitivity computation does
     # (src/AutoDiff.jl:27-33 re-evaluates mcp.∇F_z!, not the regularized A).
     Gx, Gy, Hx, Hy = mcp.gh_jacobians(sol.x, sol.y, theta)
-    Jz = assemble_dense_jacobian(Gx, Gy, Hx, Hy, sol.y, sol.s)
-    neg_Jz = -Jz
-    lu_and_piv = jax.scipy.linalg.lu_factor(neg_Jz)
 
-    def matvec(v):
-        return neg_Jz @ v
+    sens = options.sensitivity_solver
+    if sens in ("condensed", "tridiag") and mcp.assume_hy_zero:
+        # Same exact block elimination as the Newton tiers (linalg.py),
+        # applied to the unregularized IFT system: with Hy ≡ 0 and strictly
+        # interior s, y, the slack/dual rows eliminate through diagonals,
+        # leaving the n×n matrix A = Gx - Gy·diag(y/s)·Hx (block-tridiagonal
+        # in time for trajectory games). The backward pass then costs one
+        # n-sized solve instead of an (n+2m)² dense LU — the difference
+        # between feasible and infeasible training at the N=4/horizon-30
+        # flagship scale.
+        y_, s_ = sol.y, sol.s
+        A = Gx - (Gy * (y_ / s_)[None, :]) @ Hx
 
-    def solve_fn(_, b):
-        return jax.scipy.linalg.lu_solve(lu_and_piv, b)
+        if sens == "tridiag":
+            if mcp.time_structure is None:
+                raise ValueError(
+                    "sensitivity_solver='tridiag' requires an MCP with "
+                    "time_structure (trajectory games)."
+                )
+            from .kernels.block_tridiag import tridiag_solve_permuted
 
-    def transpose_solve_fn(_, b):
-        return jax.scipy.linalg.lu_solve(lu_and_piv, b, trans=1)
+            A_solve = lambda rhs: tridiag_solve_permuted(A, rhs, mcp.time_structure)
+            AT_solve = lambda rhs: tridiag_solve_permuted(
+                A.T, rhs, mcp.time_structure
+            )
+        else:
+            A_solve = lambda rhs: jnp.linalg.solve(A, rhs)
+            AT_solve = lambda rhs: jnp.linalg.solve(A.T, rhs)
+
+        def matvec(v):
+            vx, vy, vs = v[:n], v[n : n + m], v[n + m :]
+            return -jnp.concatenate(
+                [Gx @ vx + Gy @ vy, Hx @ vx - vs, s_ * vy + y_ * vs]
+            )
+
+        def solve_fn(_, b):
+            b1, b2, b3 = b[:n], b[n : n + m], b[n + m :]
+            zx = A_solve(b1 - Gy @ ((b3 + y_ * b2) / s_))
+            zs = Hx @ zx - b2
+            zy = (b3 - y_ * zs) / s_
+            return -jnp.concatenate([zx, zy, zs])
+
+        def transpose_solve_fn(_, c):
+            c1, c2, c3 = c[:n], c[n : n + m], c[n + m :]
+            w1 = AT_solve(c1 - Hx.T @ (y_ * c2 / s_) + Hx.T @ c3)
+            w3 = (c2 - Gy.T @ w1) / s_
+            w2 = y_ * w3 - c3
+            return -jnp.concatenate([w1, w2, w3])
+
+    else:
+        Jz = assemble_dense_jacobian(Gx, Gy, Hx, Hy, sol.y, sol.s)
+        neg_Jz = -Jz
+        lu_and_piv = jax.scipy.linalg.lu_factor(neg_Jz)
+
+        def matvec(v):
+            return neg_Jz @ v
+
+        def solve_fn(_, b):
+            return jax.scipy.linalg.lu_solve(lu_and_piv, b)
+
+        def transpose_solve_fn(_, b):
+            return jax.scipy.linalg.lu_solve(lu_and_piv, b, trans=1)
 
     # ∇F_θ·θ̇ as a JVP of F in θ — linear in θ̇, hence transposable into the
     # VJP needed for reverse mode.

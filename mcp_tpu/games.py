@@ -242,6 +242,9 @@ class ParametricGame:
             constrained_dimension=comps.constrained_dimension,
             parameter_dimension=sum(comps.dims.theta),
             compute_sensitivities=compute_sensitivities,
+            # Game h-rows are functions of the primal x only (Hy ≡ 0 by
+            # construction) — see linalg.newton_step_schur.
+            assume_hy_zero=True,
         )
         return ParametricGame(
             problems=tuple(problems),
@@ -299,9 +302,12 @@ def solve_game(
             theta = theta.reshape(-1)
     # Game-stacked MCPs have Hy ≡ 0 by construction (H rows are private/shared
     # inequality constraints of the primal x only), so the doubly-condensed
-    # "schur" Newton tier (linalg.py) is exact and substantially faster.
+    # "schur" Newton tier and condensed sensitivity solves (linalg.py,
+    # diff.py) are exact and substantially faster.
     if options is None and "linear_solver" not in option_overrides:
         option_overrides["linear_solver"] = "schur"
+    if options is None and "sensitivity_solver" not in option_overrides:
+        option_overrides["sensitivity_solver"] = "condensed"
     sol = _diff.solve(
         game.mcp, theta, x0=x0, y0=y0, s0=s0, options=options, **option_overrides
     )

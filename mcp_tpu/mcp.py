@@ -67,6 +67,11 @@ class PrimalDualMCP:
     # schur-condensed Newton system (set by the trajectory-game builder;
     # enables the "tridiag" linear-solver tier). kernels/block_tridiag.py.
     time_structure: Optional[object] = None
+    # True when H is structurally independent of y (all KKT-stacked games:
+    # the game layer's h rows are functions of the primal x only). Enables
+    # the doubly-condensed "schur"/"tridiag" tiers and the condensed
+    # sensitivity solves without a runtime check.
+    assume_hy_zero: bool = False
 
     # -- residual assembly ---------------------------------------------------
 

@@ -52,12 +52,24 @@ class MaskedGameRunner:
         game: TrajectoryGame, *, N: int, horizon: int, options: Optional[SolverOptions] = None
     ) -> "MaskedGameRunner":
         pg = build_masked_parametric_game(game, N=N, horizon=horizon)
+        if options is None:
+            # Structure-aware defaults: block-tridiagonal-in-time Newton and
+            # sensitivity solves when the builder validated the structure,
+            # else the doubly-condensed schur tier.
+            if pg.mcp.time_structure is not None:
+                options = SolverOptions(
+                    linear_solver="tridiag", sensitivity_solver="tridiag"
+                )
+            else:
+                options = SolverOptions(
+                    linear_solver="schur", sensitivity_solver="condensed"
+                )
         return MaskedGameRunner(
             game=game,
             parametric_game=pg,
             N=N,
             horizon=horizon,
-            options=options or SolverOptions(linear_solver="schur"),
+            options=options,
         )
 
     # -- θ packing (parametric_masked_game_solver.jl:19) ---------------------
