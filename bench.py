@@ -40,9 +40,11 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
-    # "schur" is exact for KKT-derived MCPs (Hy ≡ 0, see linalg.py) and
-    # factorizes n×n=200² instead of (n+m)×(n+m)=450².
-    parser.add_argument("--tier", default="schur_pallas")
+    # Tier ladder, all exact (linalg.py/DESIGN.md): "tridiag" exploits the
+    # trajectory-KKT's block-tridiagonal-in-time structure and measures
+    # fastest on TPU (257 solves/s vs 162 schur_pallas vs 149 schur on the
+    # lane-change bench).
+    parser.add_argument("--tier", default="tridiag")
     args = parser.parse_args()
 
     import jax
@@ -65,6 +67,8 @@ def main() -> None:
         mcp = problem.mcp
         thetas = qp.generate_parameter_batch(key, batch, dtype=jnp.float32)
         metric_name = "qp_mcp_solves_per_sec"
+        if args.tier in ("tridiag", "tridiag_cr"):
+            args.tier = "schur"  # QPs have no time structure; schur is exact
     else:
         bench = lc.generate_test_problem(horizon=10)
         mcp = bench.parametric_game.mcp

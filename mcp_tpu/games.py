@@ -280,6 +280,15 @@ class GameSolveResult(NamedTuple):
     outer_iters: Array
     status: Array
 
+    @property
+    def variables(self):
+        """Raw MCP variables as a named bundle — API parity with the
+        reference's ``solution.variables = (; x, y, s)``
+        (src/game.jl:204), used for warm starting."""
+        from types import SimpleNamespace
+
+        return SimpleNamespace(x=self.x, y=self.y, s=self.s)
+
 
 def solve_game(
     game: ParametricGame,
