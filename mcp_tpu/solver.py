@@ -128,20 +128,31 @@ def _ip_solve_body(
     y0: Array,
     s0: Array,
 ) -> SolveResult:
-    if options.linear_solver in ("tridiag", "tridiag_cr"):
-        if mcp.time_structure is None:
-            raise ValueError(
-                "linear_solver='tridiag' requires an MCP with time_structure "
-                "(built by build_parametric_game for trajectory games)."
-            )
+    tridiag_family = options.linear_solver in ("tridiag", "tridiag_cr")
+    if tridiag_family and mcp.time_structure is None:
+        raise ValueError(
+            "linear_solver='tridiag' requires an MCP with time_structure "
+            "(built by build_parametric_game for trajectory games)."
+        )
+    tridiag_algorithm = "cr" if options.linear_solver == "tridiag_cr" else "thomas"
+    # Fully-banded fast path: colored-seed Jacobian extraction + band-only
+    # assembly; no (n, n) or (n, m) matrix is ever materialized
+    # (kernels/block_tridiag.py — at N=10/horizon-30 the dense linearize
+    # alone costs 2 s per Newton iteration, the colored one ~1/10th).
+    use_banded_fused = (
+        tridiag_family and mcp.time_structure.row_permutation is not None
+        if tridiag_family
+        else False
+    )
+    if tridiag_family and not use_banded_fused:
         from .linalg import newton_step_tridiag
 
         newton_step = functools.partial(
             newton_step_tridiag,
             structure=mcp.time_structure,
-            algorithm="cr" if options.linear_solver == "tridiag_cr" else "thomas",
+            algorithm=tridiag_algorithm,
         )
-    else:
+    elif not tridiag_family:
         newton_step = NEWTON_STEPS[options.linear_solver]
     tol = options.tol
     dtype = x0.dtype
@@ -152,12 +163,35 @@ def _ip_solve_body(
         # Fused residual + Jacobian evaluation (one linearize pass). The
         # solve runs in the iterate dtype regardless of problem-data dtype
         # (f64 data must not promote an f32 TPU solve's carry).
-        g, h, Gx, Gy, Hx, Hy = mcp.gh_linearized(x, y, theta)
-        rG = g.astype(dtype)
-        rH = (h - s).astype(dtype)
-        rC = (s * y - eps).astype(dtype)
-        Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
-        dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
+        if use_banded_fused:
+            from .kernels.block_tridiag import (
+                banded_newton_step_compressed,
+                gh_banded,
+            )
+
+            g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(
+                mcp, mcp.time_structure, x, y, theta
+            )
+            rG = g.astype(dtype)
+            rH = (h - s).astype(dtype)
+            rC = (s * y - eps).astype(dtype)
+            dx, dy, ds = banded_newton_step_compressed(
+                diag_b.astype(dtype),
+                lower_b.astype(dtype),
+                upper_b.astype(dtype),
+                Gy_b.astype(dtype),
+                Hx_b.astype(dtype),
+                y, s, rG, rH, rC, tol,
+                mcp.time_structure,
+                algorithm=tridiag_algorithm,
+            )
+        else:
+            g, h, Gx, Gy, Hx, Hy = mcp.gh_linearized(x, y, theta)
+            rG = g.astype(dtype)
+            rH = (h - s).astype(dtype)
+            rC = (s * y - eps).astype(dtype)
+            Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
+            dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
 
         # Linear-solve failure detection: the reference checks the LinearSolve
         # retcode (src/solver.jl:84-88); dense LU signals failure via

@@ -147,6 +147,62 @@ def build_time_structure(game: TrajectoryGame, horizon: int):
     return TimeStructure(permutation=tuple(perm), num_blocks=T, block_size=b)
 
 
+def build_row_time_structure(pg: ParametricGame, structure):
+    """Assign each inequality row to a time block by the numeric support of
+    its Hx row and Gy column at a pseudo-random point. Rows with empty
+    support (constant constraints, e.g. the masked games' trivial coupling
+    rows) contribute nothing to the schur reduction and are distributed to
+    balance block counts. Returns (row_permutation, rows_per_block) or None
+    when rows straddle blocks / counts aren't uniform."""
+    import numpy as np
+
+    mcp = pg.mcp
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+    T, b = structure.num_blocks, structure.block_size
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = 0.1 * jax.random.normal(k1, (n,))
+    y = 1.0 + 0.1 * jax.random.uniform(k2, (m,))
+    theta = 0.1 * jax.random.normal(k3, (sum(pg.dims.theta),))
+    _, _, _, Gy, Hx, _ = (np.asarray(a) for a in mcp.gh_linearized(x, y, theta))
+
+    # time block of each unconstrained index
+    blk_of_col = np.empty(n, dtype=np.int64)
+    blk_of_col[np.asarray(structure.permutation)] = np.arange(n) // b
+
+    tol = 1e-10
+    assignment = np.full(m, -1, dtype=np.int64)
+    for r in range(m):
+        support = np.flatnonzero(
+            (np.abs(Hx[r]) > tol) | (np.abs(Gy[:, r]) > tol)
+        )
+        if support.size == 0:
+            continue  # constant row; fill later
+        blocks = np.unique(blk_of_col[support])
+        if blocks.size > 1:
+            return None
+        assignment[r] = blocks[0]
+
+    counts = np.bincount(assignment[assignment >= 0], minlength=T)
+    free_rows = np.flatnonzero(assignment < 0)
+    if counts.max() * T > m:
+        return None  # can't make uniform even with free rows
+    mt = m // T
+    if m % T != 0 or counts.max() > mt:
+        return None
+    # Distribute free rows to fill every block to mt.
+    fi = 0
+    for t in range(T):
+        need = mt - counts[t]
+        assignment[free_rows[fi : fi + need]] = t
+        fi += need
+    if fi != free_rows.size:
+        return None
+
+    row_perm = np.concatenate([np.flatnonzero(assignment == t) for t in range(T)])
+    return tuple(int(i) for i in row_perm), int(mt)
+
+
 def validate_time_structure(pg: ParametricGame, structure) -> float:
     """One-time numeric bandwidth check: off-tridiagonal mass of the schur
     matrix at a pseudo-random point (returns the max |off-band| entry)."""
@@ -218,6 +274,11 @@ def build_parametric_game(
             if offband < 1e-8:
                 import dataclasses as _dc
 
+                rows = build_row_time_structure(pg, structure)
+                if rows is not None:
+                    structure = structure._replace(
+                        row_permutation=rows[0], rows_per_block=rows[1]
+                    )
                 mcp = _dc.replace(pg.mcp, time_structure=structure)
                 pg = ParametricGame(
                     problems=pg.problems,
