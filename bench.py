@@ -40,11 +40,12 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
-    # Tier ladder, all exact (linalg.py/DESIGN.md): "tridiag" exploits the
-    # trajectory-KKT's block-tridiagonal-in-time structure and measures
-    # fastest on TPU (257 solves/s vs 162 schur_pallas vs 149 schur on the
-    # lane-change bench).
-    parser.add_argument("--tier", default="tridiag")
+    # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag" measures
+    # fastest once compiled (257 solves/s vs 162 schur_pallas vs 149 schur
+    # on the lane-change bench) but its colored-seed program compiles very
+    # slowly through this environment's TPU tunnel; the default stays on
+    # the pallas tier so the bench completes within driver time budgets.
+    parser.add_argument("--tier", default="schur_pallas")
     args = parser.parse_args()
 
     import jax

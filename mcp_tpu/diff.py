@@ -61,12 +61,25 @@ def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
     sol = ip_solve(mcp, options, theta, x0, y0, s0)
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
 
+    sens = options.sensitivity_solver
+    ts = mcp.time_structure
+    if (
+        sens == "tridiag"
+        and mcp.assume_hy_zero
+        and ts is not None
+        and getattr(ts, "row_permutation", None) is not None
+    ):
+        # Fully-banded IFT solves: colored-seed Jacobian extraction + the
+        # same block elimination as the Newton fast path — no (n+m)² seed
+        # sweep and no dense matrix anywhere in the backward pass
+        # (kernels/block_tridiag.py).
+        return sol, _banded_ift_tangent(mcp, options, sol, theta, theta_dot)
+
     # ∇F_z at the solution, evaluated at the final ϵ and WITHOUT the tol·I
     # regularization — exactly as the reference sensitivity computation does
     # (src/AutoDiff.jl:27-33 re-evaluates mcp.∇F_z!, not the regularized A).
     Gx, Gy, Hx, Hy = mcp.gh_jacobians(sol.x, sol.y, theta)
 
-    sens = options.sensitivity_solver
     if sens in ("condensed", "tridiag") and mcp.assume_hy_zero:
         # Same exact block elimination as the Newton tiers (linalg.py),
         # applied to the unregularized IFT system: with Hy ≡ 0 and strictly
@@ -151,6 +164,104 @@ def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
         status=zeros_tangent(sol.status),
     )
     return sol, tangent
+
+
+def _banded_ift_tangent(mcp, options, sol, theta, theta_dot) -> SolveResult:
+    """IFT tangent with colored-seed banded Jacobians and block-tridiagonal
+    solves — no dense (n+m)-seed sweep, no (n,·) matrix materialization.
+    Forward/transpose elimination identical to the condensed path; the n×n
+    core solve and its transpose run on the (diag, lower, upper) bands."""
+    from .kernels.block_tridiag import (
+        block_cyclic_reduction_solve,
+        block_thomas_solve,
+        gh_banded,
+    )
+
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+    ts = mcp.time_structure
+    T, b, mt = ts.num_blocks, ts.block_size, ts.rows_per_block
+    perm = jnp.asarray(ts.permutation)
+    rperm = jnp.asarray(ts.row_permutation)
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
+    rinv = jnp.zeros_like(rperm).at[rperm].set(jnp.arange(m))
+    x_, y_, s_ = sol.x, sol.y, sol.s
+
+    _, _, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(mcp, ts, x_, y_, theta)
+    r_blocks = (y_ / s_)[rperm].reshape(T, mt)
+    # A = Gx - Gy·diag(y/s)·Hx: the reduction is block-diagonal in time.
+    A_diag = diag_b - jnp.einsum("tbm,tm,tmc->tbc", Gy_b, r_blocks, Hx_b)
+    AT_diag = A_diag.transpose(0, 2, 1)
+    AT_lower = upper_b.transpose(0, 2, 1)
+    AT_upper = lower_b.transpose(0, 2, 1)
+
+    solver = (
+        block_cyclic_reduction_solve
+        if options.linear_solver == "tridiag_cr"
+        else block_thomas_solve
+    )
+
+    def A_solve(rhs):  # (n,) -> (n,)
+        out = solver(A_diag, lower_b, upper_b, rhs[perm].reshape(T, b))
+        return out.reshape(-1)[inv]
+
+    def AT_solve(rhs):
+        out = solver(AT_diag, AT_lower, AT_upper, rhs[perm].reshape(T, b))
+        return out.reshape(-1)[inv]
+
+    def Gy_mv(v):  # (m,) -> (n,)
+        out = jnp.einsum("tbm,tm->tb", Gy_b, v[rperm].reshape(T, mt))
+        return out.reshape(-1)[inv]
+
+    def GyT_mv(w):  # (n,) -> (m,)
+        out = jnp.einsum("tbm,tb->tm", Gy_b, w[perm].reshape(T, b))
+        return out.reshape(-1)[rinv]
+
+    def Hx_mv(v):  # (n,) -> (m,)
+        out = jnp.einsum("tmc,tc->tm", Hx_b, v[perm].reshape(T, b))
+        return out.reshape(-1)[rinv]
+
+    def HxT_mv(w):  # (m,) -> (n,)
+        out = jnp.einsum("tmc,tm->tc", Hx_b, w[rperm].reshape(T, mt))
+        return out.reshape(-1)[inv]
+
+    z0 = jnp.concatenate([x_, y_, s_])
+
+    def F_full(z):
+        return mcp.F(z[:n], z[n : n + m], z[n + m :], theta, sol.epsilon)
+
+    def matvec(v):
+        return -jax.jvp(F_full, (z0,), (v,))[1]
+
+    def solve_fn(_, bvec):
+        b1, b2, b3 = bvec[:n], bvec[n : n + m], bvec[n + m :]
+        zx = A_solve(b1 - Gy_mv((b3 + y_ * b2) / s_))
+        zs = Hx_mv(zx) - b2
+        zy = (b3 - y_ * zs) / s_
+        return -jnp.concatenate([zx, zy, zs])
+
+    def transpose_solve_fn(_, c):
+        c1, c2, c3 = c[:n], c[n : n + m], c[n + m :]
+        w1 = AT_solve(c1 - HxT_mv(y_ * c2 / s_) + HxT_mv(c3))
+        w3 = (c2 - GyT_mv(w1)) / s_
+        w2 = y_ * w3 - c3
+        return -jnp.concatenate([w1, w2, w3])
+
+    def F_of_theta(t):
+        return mcp.F(x_, y_, s_, t, sol.epsilon)
+
+    _, F_dot = jax.jvp(F_of_theta, (theta,), (theta_dot,))
+    z_dot = lax.custom_linear_solve(
+        matvec, F_dot, solve_fn, transpose_solve=transpose_solve_fn
+    )
+    return SolveResult(
+        x=z_dot[:n],
+        y=z_dot[n : n + m],
+        s=z_dot[n + m :],
+        kkt_error=zeros_tangent(sol.kkt_error),
+        epsilon=zeros_tangent(sol.epsilon),
+        outer_iters=zeros_tangent(sol.outer_iters),
+        status=zeros_tangent(sol.status),
+    )
 
 
 _jitted_solve = jax.jit(_solve, static_argnums=(0, 1))
