@@ -81,6 +81,28 @@ class TestShardedMesh:
         np.testing.assert_allclose(sharded.kkt_error, local.kkt_error, atol=1e-10)
         assert int(num_solved) == int(jnp.sum(local.status == 0))
 
+    def test_sharded_tridiag_composition(self):
+        """The flagship config — banded tridiag Newton tier under shard_map
+        over the batch mesh — must match the unsharded result."""
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.solver import SolverOptions
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        assert mcp.time_structure is not None
+        thetas = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 8, bench, dtype=jnp.float32
+        )
+        opts = SolverOptions(linear_solver="tridiag")
+        sharded, n_ok = solve_batch_sharded(
+            mcp, thetas, mesh=make_batch_mesh(), options=opts
+        )
+        local = solve_batch(mcp, thetas, options=opts)
+        # f32 op-scheduling differences between the sharded and local
+        # programs accumulate over ~100 Newton iterations.
+        np.testing.assert_allclose(sharded.x, local.x, atol=1e-4)
+        assert int(n_ok) == int(jnp.sum(local.status == 0))
+
     def test_batch_divisibility_error(self):
         mcp = make_mcp()
         mesh = make_batch_mesh()
