@@ -75,6 +75,43 @@ def relative_runtime(stats_a: dict, stats_b: dict) -> str:
     return f"first runtime is {100.0 * a / b:.1f}% that of second"
 
 
+def benchmark_warm_sweep(
+    mcp: PrimalDualMCP,
+    theta_sweep,
+    *,
+    options: Optional[SolverOptions] = None,
+    **option_overrides,
+) -> dict:
+    """Warm-started re-solves across a θ sweep (the reference's receding-
+    horizon/benchmark pattern, BASELINE.json config 2): step k's batch
+    warm-starts from step k-1's solution (x, y), as in
+    examples/utils.jl:209-216. theta_sweep: (K, B, p)."""
+    if options is None:
+        options = SolverOptions(**option_overrides)
+    theta_sweep = jnp.asarray(theta_sweep)
+    K, B, _ = theta_sweep.shape
+    # Compile + cold-start on the first step.
+    result = solve_batch(mcp, theta_sweep[0], options=options)
+    result.x.block_until_ready()
+    iters = [batch_statistics(result)["median_outer_iters"]]
+    times = []
+    for k in range(1, K):
+        t0 = time.perf_counter()
+        result = solve_batch(
+            mcp, theta_sweep[k], x0=result.x, y0=result.y, options=options
+        )
+        result.x.block_until_ready()
+        times.append(time.perf_counter() - t0)
+        iters.append(batch_statistics(result)["median_outer_iters"])
+    return {
+        "sweep_steps": K,
+        "batch_size": B,
+        "warm_solves_per_sec": (K - 1) * B / sum(times) if times else float("nan"),
+        "median_outer_iters_per_step": iters,
+        "final_success_rate": batch_statistics(result)["success_rate"],
+    }
+
+
 def benchmark_batched(
     mcp: PrimalDualMCP,
     thetas,
