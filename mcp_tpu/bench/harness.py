@@ -80,25 +80,32 @@ def benchmark_warm_sweep(
     theta_sweep,
     *,
     options: Optional[SolverOptions] = None,
+    warm_slacks: bool = False,
+    cold_options: Optional[SolverOptions] = None,
     **option_overrides,
 ) -> dict:
     """Warm-started re-solves across a θ sweep (the reference's receding-
     horizon/benchmark pattern, BASELINE.json config 2): step k's batch
     warm-starts from step k-1's solution (x, y), as in
-    examples/utils.jl:209-216. theta_sweep: (K, B, p)."""
+    examples/utils.jl:209-216 — plus s when ``warm_slacks`` (needed for the
+    Mehrotra algorithm, which stalls from an off-central s₀ = 1).
+    ``cold_options`` overrides the algorithm for the cold first solve
+    (e.g. annealed-IP cold start + Mehrotra re-solves).
+    theta_sweep: (K, B, p)."""
     if options is None:
         options = SolverOptions(**option_overrides)
     theta_sweep = jnp.asarray(theta_sweep)
     K, B, _ = theta_sweep.shape
     # Compile + cold-start on the first step.
-    result = solve_batch(mcp, theta_sweep[0], options=options)
+    result = solve_batch(mcp, theta_sweep[0], options=cold_options or options)
     result.x.block_until_ready()
     iters = [batch_statistics(result)["median_outer_iters"]]
     times = []
     for k in range(1, K):
+        warm = {"s0": result.s} if warm_slacks else {}
         t0 = time.perf_counter()
         result = solve_batch(
-            mcp, theta_sweep[k], x0=result.x, y0=result.y, options=options
+            mcp, theta_sweep[k], x0=result.x, y0=result.y, options=options, **warm
         )
         result.x.block_until_ready()
         times.append(time.perf_counter() - t0)

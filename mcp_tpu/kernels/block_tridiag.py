@@ -58,22 +58,23 @@ def extract_blocks(A_perm: Array, T: int, b: int):
     return diag, lower, upper
 
 
-def block_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
-    """Solve the block-tridiagonal system for one instance.
-
-    diag: (T, b, b); lower/upper: (T-1, b, b); rhs: (T, b) → x: (T, b).
-    Standard block-Thomas: forward eliminate with per-block dense solves
-    (XLA LU on b×b), backward substitute. vmap for batches.
-    """
+def block_thomas_solve_multi(
+    diag: Array, lower: Array, upper: Array, rhs: Array
+) -> Array:
+    """Multi-RHS block-Thomas: diag (T, b, b); lower/upper (T-1, b, b);
+    rhs (T, b, k) → x (T, b, k). One factorization sweep amortized over all
+    k right-hand-side columns (used by the horizon-sharded SPIKE solve,
+    whose local solves carry [r | e₀⊗L_bound | e_last⊗U_bound])."""
     T, b_dim, _ = diag.shape
+    k = rhs.shape[-1]
 
     def fwd(carry, inp):
         C_prev, d_prev = carry
         D_t, L_t, U_t, r_t = inp
         denom = D_t - L_t @ C_prev
-        rhs_blk = jnp.concatenate([U_t, (r_t - L_t @ d_prev)[:, None]], axis=1)
+        rhs_blk = jnp.concatenate([U_t, r_t - L_t @ d_prev], axis=1)
         sol = jnp.linalg.solve(denom, rhs_blk)
-        C_t, d_t = sol[:, :b_dim], sol[:, b_dim]
+        C_t, d_t = sol[:, :b_dim], sol[:, b_dim:]
         return (C_t, d_t), (C_t, d_t)
 
     zero_blk = jnp.zeros((b_dim, b_dim), diag.dtype)
@@ -83,7 +84,9 @@ def block_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> A
     U = jnp.concatenate([upper, zero_blk[None]], axis=0)  # (T, b, b)
 
     (_, _), (Cs, ds) = lax.scan(
-        fwd, (zero_blk, jnp.zeros((b_dim,), diag.dtype)), (diag, L, U, rhs)
+        fwd,
+        (zero_blk, jnp.zeros((b_dim, k), diag.dtype)),
+        (diag, L, U, rhs),
     )
 
     def bwd(x_next, inp):
@@ -92,9 +95,19 @@ def block_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> A
         return x_t, x_t
 
     _, xs_rev = lax.scan(
-        bwd, jnp.zeros((b_dim,), diag.dtype), (Cs, ds), reverse=True
+        bwd, jnp.zeros((b_dim, k), diag.dtype), (Cs, ds), reverse=True
     )
     return xs_rev
+
+
+def block_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+    """Solve the block-tridiagonal system for one instance.
+
+    diag: (T, b, b); lower/upper: (T-1, b, b); rhs: (T, b) → x: (T, b).
+    Standard block-Thomas: forward eliminate with per-block dense solves
+    (XLA LU on b×b), backward substitute. vmap for batches.
+    """
+    return block_thomas_solve_multi(diag, lower, upper, rhs[..., None])[..., 0]
 
 
 def block_cyclic_reduction_solve(
@@ -303,7 +316,13 @@ def banded_newton_step_compressed(
     )
 
     solver = (
-        block_cyclic_reduction_solve if algorithm == "cr" else block_thomas_solve
+        algorithm
+        if callable(algorithm)
+        else (
+            block_cyclic_reduction_solve
+            if algorithm == "cr"
+            else block_thomas_solve
+        )
     )
     dx_blocks = solver(A_diag, lower, upper, rhs)  # (T, b)
 
@@ -374,7 +393,13 @@ def banded_newton_step(
     rhs = (-rG - Gy @ (b2 / w))[perm].reshape(T, b)
 
     solver = (
-        block_cyclic_reduction_solve if algorithm == "cr" else block_thomas_solve
+        algorithm
+        if callable(algorithm)
+        else (
+            block_cyclic_reduction_solve
+            if algorithm == "cr"
+            else block_thomas_solve
+        )
     )
     x_perm = solver(diag, lower, upper, rhs).reshape(-1)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0]))
@@ -399,7 +424,13 @@ def tridiag_solve_permuted(
     r_perm = rhs[perm]
     diag, lower, upper = extract_blocks(A_perm, T, b)
     solver = (
-        block_cyclic_reduction_solve if algorithm == "cr" else block_thomas_solve
+        algorithm
+        if callable(algorithm)
+        else (
+            block_cyclic_reduction_solve
+            if algorithm == "cr"
+            else block_thomas_solve
+        )
     )
     x_perm = solver(diag, lower, upper, r_perm.reshape(T, b)).reshape(-1)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0]))

@@ -172,6 +172,94 @@ def newton_step_tridiag(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg, *, structure, alg
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
 
+def factored_newton_solver(tier: str):
+    """Factor-once / solve-many variant of the Newton tiers, for algorithms
+    that resolve the same KKT matrix against several right-hand sides at one
+    iterate (Mehrotra predictor/corrector, iterative refinement).
+
+    Returns ``make(Gx, Gy, Hx, Hy, y, s, reg) -> solve_f`` where
+    ``solve_f(bG, bH, bC) -> (dx, dy, ds)`` solves the regularized system
+    ``(∇F_z + reg·I) δ = -(bG, bH, bC)``. LU-backed tiers factor once and
+    back-substitute per call; kernel/iterative tiers re-solve per call
+    (their per-solve cost is already small next to the Jacobian
+    evaluation)."""
+    import jax.scipy.linalg as jsl
+
+    if tier == "dense":
+
+        def make(Gx, Gy, Hx, Hy, y, s, reg):
+            n, m = Gx.shape[0], Hy.shape[0]
+            A = assemble_dense_jacobian(Gx, Gy, Hx, Hy, y, s)
+            lu = jsl.lu_factor(A + reg * jnp.eye(n + 2 * m, dtype=A.dtype))
+
+            def solve_f(bG, bH, bC):
+                dz = jsl.lu_solve(lu, -jnp.concatenate([bG, bH, bC]))
+                return dz[:n], dz[n : n + m], dz[n + m :]
+
+            return solve_f
+
+    elif tier == "condensed":
+
+        def make(Gx, Gy, Hx, Hy, y, s, reg):
+            n, m = Gx.shape[0], Hy.shape[0]
+            dtype = Gx.dtype
+            d = 1.0 / (y + reg)
+            A = jnp.block(
+                [
+                    [Gx + reg * jnp.eye(n, dtype=dtype), Gy],
+                    [Hx, Hy + reg * jnp.eye(m, dtype=dtype) + jnp.diag(d * s)],
+                ]
+            )
+            lu = jsl.lu_factor(A)
+
+            def solve_f(bG, bH, bC):
+                dxy = jsl.lu_solve(lu, jnp.concatenate([-bG, -bH - d * bC]))
+                dx, dy = dxy[:n], dxy[n:]
+                return dx, dy, -(bC + s * dy) * d
+
+            return solve_f
+
+    elif tier in ("schur", "schur_pallas", "gmres"):
+
+        def make(Gx, Gy, Hx, Hy, y, s, reg):
+            n = Gx.shape[0]
+            dtype = Gx.dtype
+            d = 1.0 / (y + reg)
+            w = reg + d * s
+            A = Gx + reg * jnp.eye(n, dtype=dtype) - (Gy / w[None, :]) @ Hx
+            if tier == "schur":
+                lu = jsl.lu_factor(A)
+                inner = lambda b: jsl.lu_solve(lu, b)
+            elif tier == "schur_pallas":
+                from .kernels.linear_solve import gauss_solve
+
+                inner = lambda b: gauss_solve(A, b)
+            else:
+
+                def inner(b):
+                    dx, _ = jax.scipy.sparse.linalg.gmres(
+                        lambda v: A @ v,
+                        b,
+                        tol=1e-8,
+                        restart=min(n, 50),
+                        maxiter=5,
+                        solve_method="batched",
+                    )
+                    return dx
+
+            def solve_f(bG, bH, bC):
+                b2 = -bH - d * bC
+                dx = inner(-bG - Gy @ (b2 / w))
+                return _schur_recover(dx, Hx, b2, w, d, s, bC)
+
+            return solve_f
+
+    else:
+        raise ValueError(f"no factored solver for tier {tier!r}")
+
+    return make
+
+
 def schur_assumption_violation(mcp, x, y, theta) -> float:
     """Max |∂H/∂y| — must be 0 for the "schur" tier to be exact."""
     import jax

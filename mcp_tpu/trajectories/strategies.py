@@ -121,6 +121,7 @@ def solve_trajectory_game(
     parametric_game: ParametricGame,
     last_solution: Optional[GameSolveResult] = None,
     options: Optional[SolverOptions] = None,
+    warm_start_slacks: bool = False,
     **solve_kwargs,
 ) -> tuple[JointStrategy, GameSolveResult]:
     """One receding-horizon plan update (examples/utils.jl:195-271, minus the
@@ -130,6 +131,12 @@ def solve_trajectory_game(
     from a zero-input rollout.
     """
     if last_solution is not None and int(last_solution.status) == SOLVED:
+        # Reference warm start is (x, y) only (examples/utils.jl:209-216);
+        # warm_start_slacks additionally seeds s — an off-central s₀ = 1
+        # stalls the Mehrotra algorithm, and with s₀ = s* it re-solves in
+        # ~3 iterations vs the annealed loop's ~7.
+        if warm_start_slacks:
+            solve_kwargs = dict(solve_kwargs, s0=last_solution.s)
         sol = solve_game(
             parametric_game,
             parameter_blocks,

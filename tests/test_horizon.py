@@ -1,0 +1,78 @@
+"""Horizon-sharded (SPIKE / partitioned-Schur) solves over the virtual
+8-device CPU mesh (parallel/horizon.py) — the domain's sequence parallelism
+(SURVEY.md §5). No reference counterpart: the reference factors the whole
+horizon serially on one CPU (src/solver.jl:81-90)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcp_tpu import solve
+from mcp_tpu.bench import lane_change as lc
+from mcp_tpu.kernels.block_tridiag import block_thomas_solve
+from mcp_tpu.parallel.horizon import (
+    horizon_sharded_tridiag_solve,
+    make_horizon_mesh,
+    solve_horizon_sharded,
+)
+from mcp_tpu.solver import SolverOptions
+from mcp_tpu.types import SOLVED
+
+
+def _random_tridiag(key, T, b, dtype=jnp.float64):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    diag = jax.random.normal(k1, (T, b, b), dtype) + 6 * jnp.eye(b, dtype=dtype)[None]
+    lower = 0.5 * jax.random.normal(k2, (T - 1, b, b), dtype)
+    upper = 0.5 * jax.random.normal(k3, (T - 1, b, b), dtype)
+    rhs = jax.random.normal(k4, (T, b), dtype)
+    return diag, lower, upper, rhs
+
+
+class TestShardedTridiagSolve:
+    @pytest.mark.parametrize("T,b", [(16, 4), (32, 12), (64, 7)])
+    def test_matches_block_thomas(self, T, b):
+        diag, lower, upper, rhs = _random_tridiag(jax.random.PRNGKey(T + b), T, b)
+        x_ref = block_thomas_solve(diag, lower, upper, rhs)
+        x_sh = horizon_sharded_tridiag_solve(
+            diag, lower, upper, rhs, mesh=make_horizon_mesh()
+        )
+        np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=1e-10)
+
+    def test_rejects_bad_horizon(self):
+        diag, lower, upper, rhs = _random_tridiag(jax.random.PRNGKey(0), 12, 4)
+        with pytest.raises(ValueError, match="multiple of the mesh size"):
+            horizon_sharded_tridiag_solve(
+                diag, lower, upper, rhs, mesh=make_horizon_mesh()
+            )
+
+
+class TestShardedIPSolve:
+    def test_lane_change_matches_single_device(self):
+        bench = lc.generate_test_problem(horizon=16)
+        mcp = bench.parametric_game.mcp
+        theta = lc.generate_random_parameter(
+            jax.random.PRNGKey(0), bench, dtype=jnp.float64
+        )
+        opts = SolverOptions(linear_solver="tridiag", tol=1e-4)
+        sol_ref = solve(mcp, theta, options=opts)
+        sol_sh = solve_horizon_sharded(
+            mcp, theta, mesh=make_horizon_mesh(), options=opts
+        )
+        assert int(sol_sh.status) == SOLVED
+        assert int(sol_sh.outer_iters) == int(sol_ref.outer_iters)
+        np.testing.assert_allclose(
+            np.asarray(sol_sh.x), np.asarray(sol_ref.x), atol=1e-8
+        )
+
+    def test_requires_tridiag_tier(self):
+        bench = lc.generate_test_problem(horizon=16)
+        theta = lc.generate_random_parameter(
+            jax.random.PRNGKey(1), bench, dtype=jnp.float64
+        )
+        with pytest.raises(ValueError, match="tridiag-family"):
+            solve_horizon_sharded(
+                bench.parametric_game.mcp,
+                theta,
+                options=SolverOptions(linear_solver="schur"),
+            )
