@@ -30,10 +30,14 @@ def main() -> None:
     parser.add_argument(
         "--suite",
         default="lane_change",
-        choices=["lane_change", "qp"],
-        help="lane_change (driver metric) or the random-QP suite "
-        "(benchmark/quadratic_program_benchmark.jl protocol)",
+        choices=["lane_change", "qp", "warm"],
+        help="lane_change (driver metric), the random-QP suite "
+        "(benchmark/quadratic_program_benchmark.jl protocol), or warm "
+        "(receding-horizon warm-started θ-sweep, examples/utils.jl:209-216)",
     )
+    # IP algorithm: the reference-parity annealed loop, or the Mehrotra
+    # predictor-corrector (shines on the warm suite: ~3 vs ~7 iterations).
+    parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra"])
     # Batch 64 saturates one v5e chip for the lane-change problem size
     # (measured: 149-162 solves/s at 64 vs 133 at 256).
     parser.add_argument("--batch", type=int, default=64)
@@ -76,13 +80,40 @@ def main() -> None:
         thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
         metric_name = "lane_change_mcp_solves_per_sec"
 
-    stats = harness.benchmark_batched(
-        mcp,
-        thetas,
-        repeats=args.repeats,
-        tol=args.tol,
-        linear_solver=args.tier,
-    )
+    if args.suite == "warm":
+        # K sweep steps with a small θ drift per step (the receding-horizon
+        # pattern); warm slacks so Mehrotra runs in its superlinear regime.
+        from mcp_tpu.solver import SolverOptions
+
+        K = 4 if args.quick else 10
+        sweep = jnp.stack([thetas + 0.005 * k for k in range(K)])
+        out_sweep = harness.benchmark_warm_sweep(
+            mcp,
+            sweep,
+            options=SolverOptions(
+                tol=args.tol, linear_solver=args.tier, algorithm=args.algorithm
+            ),
+            cold_options=SolverOptions(tol=args.tol, linear_solver=args.tier),
+            warm_slacks=True,
+        )
+        stats = {
+            "solves_per_sec": out_sweep["warm_solves_per_sec"],
+            "batch_size": out_sweep["batch_size"],
+            "success_rate": out_sweep["final_success_rate"],
+            "median_outer_iters": out_sweep["median_outer_iters_per_step"][-1],
+            "best_batch_time_s": 0.0,
+            "max_kkt_error_solved": 0.0,
+        }
+        metric_name = "warm_lane_change_mcp_solves_per_sec"
+    else:
+        stats = harness.benchmark_batched(
+            mcp,
+            thetas,
+            repeats=args.repeats,
+            tol=args.tol,
+            linear_solver=args.tier,
+            algorithm=args.algorithm,
+        )
 
     baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
     out = {

@@ -172,6 +172,7 @@ def _banded_ift_tangent(mcp, options, sol, theta, theta_dot) -> SolveResult:
     Forward/transpose elimination identical to the condensed path; the n×n
     core solve and its transpose run on the (diag, lower, upper) bands."""
     from .kernels.block_tridiag import (
+        _inverse_permutation,
         block_cyclic_reduction_solve,
         block_thomas_solve,
         gh_banded,
@@ -182,8 +183,8 @@ def _banded_ift_tangent(mcp, options, sol, theta, theta_dot) -> SolveResult:
     T, b, mt = ts.num_blocks, ts.block_size, ts.rows_per_block
     perm = jnp.asarray(ts.permutation)
     rperm = jnp.asarray(ts.row_permutation)
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
-    rinv = jnp.zeros_like(rperm).at[rperm].set(jnp.arange(m))
+    inv = _inverse_permutation(ts.permutation)
+    rinv = _inverse_permutation(ts.row_permutation)
     x_, y_, s_ = sol.x, sol.y, sol.s
 
     _, _, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(mcp, ts, x_, y_, theta)

@@ -48,6 +48,17 @@ class TimeStructure(NamedTuple):
     rows_per_block: int = 0
 
 
+def _inverse_permutation(p) -> Array:
+    """Host-side inverse of a static permutation. Computing this in-graph as
+    `zeros.at[perm].set(arange)` hands XLA an all-constant scatter, whose
+    compile-time constant folding is pathologically slow on TPU (the
+    colored-path 35-min compile blowup); argsort on host numpy embeds the
+    result as a plain constant instead."""
+    import numpy as np
+
+    return jnp.asarray(np.argsort(np.asarray(p)))
+
+
 def extract_blocks(A_perm: Array, T: int, b: int):
     """(Tb, Tb) → (diag (T,b,b), lower (T-1,b,b), upper (T-1,b,b))."""
     A4 = A_perm.reshape(T, b, T, b)
@@ -331,9 +342,8 @@ def banded_newton_step_compressed(
     ) / w_blocks
     ds_blocks = -(rC_blocks + s_blocks * dy_blocks) * d_blocks
 
-    n, m = perm.shape[0], rperm.shape[0]
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
-    rinv = jnp.zeros_like(rperm).at[rperm].set(jnp.arange(m))
+    inv = _inverse_permutation(structure.permutation)
+    rinv = _inverse_permutation(structure.row_permutation)
     dx = dx_blocks.reshape(-1)[inv]
     dy = dy_blocks.reshape(-1)[rinv]
     ds = ds_blocks.reshape(-1)[rinv]
@@ -402,7 +412,7 @@ def banded_newton_step(
         )
     )
     x_perm = solver(diag, lower, upper, rhs).reshape(-1)
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0]))
+    inv = _inverse_permutation(structure.permutation)
     dx = x_perm[inv]
 
     dy = (b2 - Hx @ dx) / w
@@ -433,5 +443,5 @@ def tridiag_solve_permuted(
         )
     )
     x_perm = solver(diag, lower, upper, r_perm.reshape(T, b)).reshape(-1)
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0]))
+    inv = _inverse_permutation(structure.permutation)
     return x_perm[inv]
