@@ -44,12 +44,13 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
-    # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag" measures
-    # fastest once compiled (257 solves/s vs 162 schur_pallas vs 149 schur
-    # on the lane-change bench) but its colored-seed program compiles very
-    # slowly through this environment's TPU tunnel; the default stays on
-    # the pallas tier so the bench completes within driver time budgets.
-    parser.add_argument("--tier", default="schur_pallas")
+    # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag" (colored-seed
+    # banded assembly + block-Thomas) is the fastest: 288 solves/s vs 162
+    # schur_pallas vs 149 schur on the lane-change bench. Its former 35-min
+    # TPU compile blowup was XLA constant-folding the in-graph
+    # inverse-permutation scatters; with host-argsorted inverses it compiles
+    # in ~10 s.
+    parser.add_argument("--tier", default="tridiag")
     args = parser.parse_args()
 
     import jax
