@@ -17,7 +17,11 @@ args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 
-from mcp_tpu.kernels.linear_solve import pallas_gauss_solve
+from mcp_tpu.kernels.linear_solve import (
+    pallas_gauss_solve,
+    pallas_qr_solve_fused,
+    pallas_wy_solve,
+)
 
 B, n, K = args.batch, args.n, args.iters
 print("device:", jax.devices()[0], f"B={B} n={n} iters={K}")
@@ -43,6 +47,20 @@ with jax.default_matmul_precision("highest"):
         "pallas QR (tile 16)",
         lambda i, c: pallas_gauss_solve(A + 0.0 * i, c * 0 + b, batch_tile=16) * 1e-12 + c,
     )
+    timeit(
+        "pallas fused aug QR (auto tile)",
+        lambda i, c: pallas_qr_solve_fused(A + 0.0 * i, c * 0 + b) * 1e-12 + c,
+    )
+    for tile in (16,):
+        for panel in (8,):
+            timeit(
+                f"pallas WY QR (tile {tile}, nb {panel})",
+                lambda i, c, tile=tile, panel=panel: pallas_wy_solve(
+                    A + 0.0 * i, c * 0 + b, batch_tile=tile, panel=panel
+                )
+                * 1e-12
+                + c,
+            )
     timeit(
         "xla linalg.solve",
         lambda i, c: jnp.linalg.solve(A + 0.0 * i, (c * 0 + b)[..., None])[..., 0] * 1e-12 + c,

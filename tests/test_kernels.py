@@ -4,7 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mcp_tpu.kernels.linear_solve import gauss_solve, pallas_gauss_solve
+from mcp_tpu.kernels.linear_solve import (
+    gauss_solve,
+    pallas_gauss_solve,
+    pallas_qr_solve_fused,
+    pallas_wy_solve,
+)
 
 
 def random_systems(B, n, key=0, dtype=jnp.float32):
@@ -59,6 +64,56 @@ class TestPallasQRSolve:
         np.testing.assert_allclose(
             x, jnp.linalg.solve(A[0], b[0][..., None])[..., 0], atol=1e-4
         )
+
+    def test_wy_matches_xla_solve(self):
+        """Blocked-panel WY kernel agrees with XLA across panel widths and
+        n not divisible by the panel (identity-padding path)."""
+        for n, nb in [(64, 8), (37, 8), (48, 16)]:
+            A, b = random_systems(8, n)
+            x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+            x = pallas_wy_solve(A, b, batch_tile=4, panel=nb)
+            np.testing.assert_allclose(x, x_ref, atol=1e-4)
+
+    def test_fused_aug_matches_xla_solve(self):
+        """Augmented in-place QR kernel agrees with XLA, including the
+        batch-padding path."""
+        for B, n in [(8, 64), (6, 32)]:
+            A, b = random_systems(B, n)
+            x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+            x = pallas_qr_solve_fused(A, b, batch_tile=4)
+            np.testing.assert_allclose(x, x_ref, atol=1e-4)
+
+    def test_fused_aug_saddle_point_stability(self):
+        n_p, n_d = 24, 8
+        k = jax.random.PRNGKey(3)
+        Q = jax.random.normal(k, (4, n_p, n_p), jnp.float32)
+        Q = jnp.einsum("bij,bkj->bik", Q, Q) / n_p + jnp.eye(n_p, dtype=jnp.float32)[None]
+        J = jax.random.normal(jax.random.PRNGKey(4), (4, n_d, n_p), jnp.float32)
+        top = jnp.concatenate([Q, -jnp.transpose(J, (0, 2, 1))], axis=2)
+        bot = jnp.concatenate(
+            [J, 1e-4 * jnp.eye(n_d, dtype=jnp.float32)[None].repeat(4, 0)], axis=2
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.PRNGKey(5), (4, n_p + n_d), jnp.float32)
+        x = pallas_qr_solve_fused(A, b)
+        residual = jnp.einsum("bij,bj->bi", A, x) - b
+        assert float(jnp.max(jnp.abs(residual))) < 1e-3
+
+    def test_wy_saddle_point_stability(self):
+        n_p, n_d = 24, 8
+        k = jax.random.PRNGKey(3)
+        Q = jax.random.normal(k, (4, n_p, n_p), jnp.float32)
+        Q = jnp.einsum("bij,bkj->bik", Q, Q) / n_p + jnp.eye(n_p, dtype=jnp.float32)[None]
+        J = jax.random.normal(jax.random.PRNGKey(4), (4, n_d, n_p), jnp.float32)
+        top = jnp.concatenate([Q, -jnp.transpose(J, (0, 2, 1))], axis=2)
+        bot = jnp.concatenate(
+            [J, 1e-4 * jnp.eye(n_d, dtype=jnp.float32)[None].repeat(4, 0)], axis=2
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.PRNGKey(5), (4, n_p + n_d), jnp.float32)
+        x = pallas_wy_solve(A, b, batch_tile=4, panel=8)
+        residual = jnp.einsum("bij,bj->bi", A, x) - b
+        assert float(jnp.max(jnp.abs(residual))) < 1e-3
 
     def test_solver_tier_parity(self):
         """Full IP solve via schur_pallas matches the schur tier."""
