@@ -55,6 +55,32 @@ def make_horizon_mesh(devices=None, *, axis_name: str = HORIZON_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_dp_horizon_mesh(
+    dp: int,
+    horizon: int,
+    devices=None,
+    *,
+    batch_axis: str = "dp",
+    axis_name: str = HORIZON_AXIS,
+) -> Mesh:
+    """2-D ``(dp, horizon)`` mesh: batch-parallel groups of horizon-parallel
+    device teams — the production topology for a batch of games each too
+    large for one chip. The horizon axis is the *minor* (fastest-varying)
+    axis so each team's interface all_gathers ride adjacent-ICI links."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if dp * horizon != len(devices):
+        raise ValueError(
+            f"mesh shape ({dp}, {horizon}) needs {dp * horizon} devices, "
+            f"got {len(devices)}"
+        )
+    return Mesh(
+        np.asarray(devices).reshape(dp, horizon), (batch_axis, axis_name)
+    )
+
+
 def _local_spike(diag, lower_int, L_bound, upper_int, U_bound, rhs, *, axis_name):
     """Device-local SPIKE stage. Shapes (leading local-shard axis of size 1
     already squeezed): diag (Tl, b, b), lower_int/upper_int (Tl-1, b, b),
@@ -253,6 +279,113 @@ def solve_horizon_sharded(
     theta = jnp.asarray(theta)
     x0, y0, s0 = default_initialization(mcp, theta, x0, y0, s0)
     return _sharded_ip_solver(mcp, options, mesh, axis_name)(theta, x0, y0, s0)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_batch_ip_solver(
+    mcp, options, mesh: Mesh, batch_axis: str, axis_name: str
+):
+    from ..solver import _ip_solve_body, _mehrotra_solve_body
+    from ..types import SolveResult
+
+    D = int(mesh.shape[axis_name])
+    solver_fn = functools.partial(
+        _spike_replicated, axis_name=axis_name, num_devices=D
+    )
+    body = (
+        _mehrotra_solve_body if options.algorithm == "mehrotra" else _ip_solve_body
+    )
+
+    def local(thetas, x0, y0, s0):
+        # Local batch slice (replicated along the horizon axis); every
+        # instance's Newton factorizations are SPIKE-distributed over the
+        # horizon teammates. vmap and the collective commute: the batch axis
+        # is unrelated to the gathered interface axis.
+        with jax.default_matmul_precision(options.matmul_precision):
+            return jax.vmap(
+                lambda t, x, y, s: body(
+                    mcp, options, t, x, y, s, tridiag_solver=solver_fn
+                )
+            )(thetas, x0, y0, s0)
+
+    bspec = P(batch_axis)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(bspec, bspec, bspec, bspec),
+        out_specs=SolveResult(
+            x=bspec, y=bspec, s=bspec, kkt_error=bspec, epsilon=bspec,
+            outer_iters=bspec, status=bspec,
+        ),
+    )
+    return jax.jit(fn)
+
+
+def solve_batch_horizon_sharded(
+    mcp,
+    thetas: Array,
+    *,
+    mesh: Mesh,
+    batch_axis: str = "dp",
+    axis_name: str = HORIZON_AXIS,
+    x0: Optional[Array] = None,
+    y0: Optional[Array] = None,
+    s0: Optional[Array] = None,
+    options=None,
+    **option_overrides,
+):
+    """Composed dp × horizon solve: a BATCH of large trajectory-game MCPs,
+    batch-sharded over ``batch_axis`` while every instance's Newton
+    factorizations are horizon-sharded over ``axis_name`` (SURVEY.md §2.4:
+    DP and the SP analog on one 2-D mesh — e.g. 16 chips as 8 dp-groups of
+    2-chip horizon teams). Requires a mesh from `make_dp_horizon_mesh` (or
+    any mesh carrying both axes), batch divisible by the dp size, and the
+    game horizon divisible by the horizon-axis size with ≥ 2 blocks per
+    device."""
+    import dataclasses
+
+    from ..solver import SolverOptions
+
+    if options is None:
+        options = SolverOptions(linear_solver="tridiag", **option_overrides)
+    elif option_overrides:
+        options = dataclasses.replace(options, **option_overrides)
+    if options.linear_solver not in ("tridiag", "tridiag_cr"):
+        raise ValueError(
+            "solve_batch_horizon_sharded requires a tridiag-family linear_solver"
+        )
+    ts = mcp.time_structure
+    if ts is None:
+        raise ValueError("MCP has no time_structure (not a trajectory game)")
+    D = int(mesh.shape[axis_name])
+    T = ts.num_blocks
+    if T % D != 0 or T // D < 2:
+        raise ValueError(
+            f"horizon {T} must be a multiple of the horizon-axis size {D} "
+            "with at least 2 blocks per device"
+        )
+    thetas = jnp.asarray(thetas)
+    B = thetas.shape[0]
+    dp = int(mesh.shape[batch_axis])
+    if B % dp != 0:
+        raise ValueError(f"batch size {B} must be divisible by dp size {dp}")
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+    dtype = thetas.dtype
+    if x0 is None:
+        x0 = jnp.zeros((B, n), dtype)
+    if y0 is None:
+        y0 = jnp.ones((B, m), dtype)
+    if s0 is None:
+        s0 = jnp.ones((B, m), dtype)
+
+    sharding = NamedSharding(mesh, P(batch_axis))
+    thetas, x0, y0, s0 = (
+        jax.device_put(a, sharding) for a in (thetas, x0, y0, s0)
+    )
+    return _sharded_batch_ip_solver(mcp, options, mesh, batch_axis, axis_name)(
+        thetas, x0, y0, s0
+    )
 
 
 def horizon_sharded_tridiag_solve(

@@ -13,7 +13,9 @@ from mcp_tpu.bench import lane_change as lc
 from mcp_tpu.kernels.block_tridiag import block_thomas_solve
 from mcp_tpu.parallel.horizon import (
     horizon_sharded_tridiag_solve,
+    make_dp_horizon_mesh,
     make_horizon_mesh,
+    solve_batch_horizon_sharded,
     solve_horizon_sharded,
 )
 from mcp_tpu.solver import SolverOptions
@@ -61,6 +63,37 @@ class TestShardedIPSolve:
         )
         assert int(sol_sh.status) == SOLVED
         assert int(sol_sh.outer_iters) == int(sol_ref.outer_iters)
+        np.testing.assert_allclose(
+            np.asarray(sol_sh.x), np.asarray(sol_ref.x), atol=1e-8
+        )
+
+    @pytest.mark.parametrize("dp,hz", [(2, 4), (4, 2)])
+    def test_batch_dp_horizon_composition(self, dp, hz):
+        """2-D (dp × horizon) mesh: batch-sharded solves whose Newton
+        factorizations are each SPIKE-distributed, vs the plain vmapped
+        single-device tridiag tier."""
+        from mcp_tpu.parallel.batch import solve_batch
+
+        bench = lc.generate_test_problem(horizon=16)
+        mcp = bench.parametric_game.mcp
+        thetas = jnp.stack(
+            [
+                lc.generate_random_parameter(
+                    jax.random.PRNGKey(7 + i), bench, dtype=jnp.float64
+                )
+                for i in range(4)
+            ]
+        )
+        opts = SolverOptions(linear_solver="tridiag", tol=1e-4)
+        sol_ref = solve_batch(mcp, thetas, options=opts)
+        mesh = make_dp_horizon_mesh(dp, hz)
+        sol_sh = solve_batch_horizon_sharded(mcp, thetas, mesh=mesh, options=opts)
+        np.testing.assert_array_equal(
+            np.asarray(sol_sh.status), np.full(4, SOLVED)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sol_sh.outer_iters), np.asarray(sol_ref.outer_iters)
+        )
         np.testing.assert_allclose(
             np.asarray(sol_sh.x), np.asarray(sol_ref.x), atol=1e-8
         )
