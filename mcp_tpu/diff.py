@@ -40,13 +40,25 @@ from .types import SolveResult, zeros_tangent
 Array = jax.Array
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+def _solve_ts(
+    mcp: PrimalDualMCP, options: SolverOptions, tridiag_solver, theta, x0, y0, s0
+):
+    """Differentiable solve with an optional block-tridiagonal backend
+    override (a callable, e.g. the horizon-sharded SPIKE solve from
+    parallel/horizon.py) used for BOTH the Newton factorizations and the
+    IFT sensitivity solves."""
+    return ip_solve(mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver)
+
+
 def _solve(mcp: PrimalDualMCP, options: SolverOptions, theta, x0, y0, s0):
-    return ip_solve(mcp, options, theta, x0, y0, s0)
+    return _solve_ts(mcp, options, None, theta, x0, y0, s0)
 
 
-@_solve.defjvp
-def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
+@_solve_ts.defjvp
+def _solve_jvp(
+    mcp: PrimalDualMCP, options: SolverOptions, tridiag_solver, primals, tangents
+):
     if not mcp.compute_sensitivities:
         # API-parity error path (reference src/AutoDiff.jl:19-23).
         raise ValueError(
@@ -58,7 +70,7 @@ def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
     # Warm starts get no tangent, matching the reference rrule's NoTangent
     # treatment of non-θ arguments (src/AutoDiff.jl:53-57).
 
-    sol = ip_solve(mcp, options, theta, x0, y0, s0)
+    sol = ip_solve(mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver)
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
 
     sens = options.sensitivity_solver
@@ -73,7 +85,9 @@ def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
         # same block elimination as the Newton fast path — no (n+m)² seed
         # sweep and no dense matrix anywhere in the backward pass
         # (kernels/block_tridiag.py).
-        return sol, _banded_ift_tangent(mcp, options, sol, theta, theta_dot)
+        return sol, _banded_ift_tangent(
+            mcp, options, sol, theta, theta_dot, tridiag_solver=tridiag_solver
+        )
 
     # ∇F_z at the solution, evaluated at the final ϵ and WITHOUT the tol·I
     # regularization — exactly as the reference sensitivity computation does
@@ -166,7 +180,9 @@ def _solve_jvp(mcp: PrimalDualMCP, options: SolverOptions, primals, tangents):
     return sol, tangent
 
 
-def _banded_ift_tangent(mcp, options, sol, theta, theta_dot) -> SolveResult:
+def _banded_ift_tangent(
+    mcp, options, sol, theta, theta_dot, tridiag_solver=None
+) -> SolveResult:
     """IFT tangent with colored-seed banded Jacobians and block-tridiagonal
     solves — no dense (n+m)-seed sweep, no (n,·) matrix materialization.
     Forward/transpose elimination identical to the condensed path; the n×n
@@ -195,11 +211,12 @@ def _banded_ift_tangent(mcp, options, sol, theta, theta_dot) -> SolveResult:
     AT_lower = upper_b.transpose(0, 2, 1)
     AT_upper = lower_b.transpose(0, 2, 1)
 
-    solver = (
-        block_cyclic_reduction_solve
-        if options.linear_solver == "tridiag_cr"
-        else block_thomas_solve
-    )
+    if tridiag_solver is not None:
+        solver = tridiag_solver  # e.g. the horizon-sharded SPIKE solve
+    elif options.linear_solver == "tridiag_cr":
+        solver = block_cyclic_reduction_solve
+    else:
+        solver = block_thomas_solve
 
     def A_solve(rhs):  # (n,) -> (n,)
         out = solver(A_diag, lower_b, upper_b, rhs[perm].reshape(T, b))

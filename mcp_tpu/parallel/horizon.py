@@ -200,20 +200,18 @@ def _spike_replicated(diag, lower, upper, rhs, *, axis_name, num_devices):
 
 @functools.lru_cache(maxsize=None)
 def _sharded_ip_solver(mcp, options, mesh: Mesh, axis_name: str):
-    from ..solver import _ip_solve_body, _mehrotra_solve_body
+    from ..diff import _solve_ts
     from ..types import SolveResult
 
     D = int(mesh.devices.size)
     solver_fn = functools.partial(
         _spike_replicated, axis_name=axis_name, num_devices=D
     )
-    body = (
-        _mehrotra_solve_body if options.algorithm == "mehrotra" else _ip_solve_body
-    )
 
     def replicated(theta, x0, y0, s0):
-        with jax.default_matmul_precision(options.matmul_precision):
-            return body(mcp, options, theta, x0, y0, s0, tridiag_solver=solver_fn)
+        # _solve_ts: differentiable (IFT custom_jvp) with every Newton AND
+        # sensitivity block-tridiagonal solve SPIKE-distributed over the mesh.
+        return _solve_ts(mcp, options, solver_fn, theta, x0, y0, s0)
 
     rep = P()
     fn = jax.shard_map(
@@ -227,6 +225,47 @@ def _sharded_ip_solver(mcp, options, mesh: Mesh, axis_name: str):
         ),
     )
     return jax.jit(fn)
+
+
+def horizon_sharded_solve_fn(
+    mcp,
+    *,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = HORIZON_AXIS,
+    options=None,
+    **option_overrides,
+):
+    """Return the jitted DIFFERENTIABLE horizon-sharded solve callable
+    ``(theta, x0, y0, s0) -> SolveResult``: jax.grad/jvp through it uses the
+    IFT custom rule with the sensitivity block-tridiagonal solves
+    SPIKE-distributed over the same mesh (set
+    ``sensitivity_solver="tridiag"`` to keep the backward pass banded).
+    Same validation as `solve_horizon_sharded`."""
+    import dataclasses
+
+    from ..solver import SolverOptions
+
+    if options is None:
+        options = SolverOptions(linear_solver="tridiag", **option_overrides)
+    elif option_overrides:
+        options = dataclasses.replace(options, **option_overrides)
+    if options.linear_solver not in ("tridiag", "tridiag_cr"):
+        raise ValueError(
+            "solve_horizon_sharded requires a tridiag-family linear_solver"
+        )
+    ts = mcp.time_structure
+    if ts is None:
+        raise ValueError("MCP has no time_structure (not a trajectory game)")
+    if mesh is None:
+        mesh = make_horizon_mesh(axis_name=axis_name)
+    D = int(mesh.devices.size)
+    T = ts.num_blocks
+    if T % D != 0 or T // D < 2:
+        raise ValueError(
+            f"horizon {T} must be a multiple of the mesh size {D} with at "
+            "least 2 blocks per device"
+        )
+    return _sharded_ip_solver(mcp, options, mesh, axis_name)
 
 
 def solve_horizon_sharded(
@@ -285,28 +324,23 @@ def solve_horizon_sharded(
 def _sharded_batch_ip_solver(
     mcp, options, mesh: Mesh, batch_axis: str, axis_name: str
 ):
-    from ..solver import _ip_solve_body, _mehrotra_solve_body
+    from ..diff import _solve_ts
     from ..types import SolveResult
 
     D = int(mesh.shape[axis_name])
     solver_fn = functools.partial(
         _spike_replicated, axis_name=axis_name, num_devices=D
     )
-    body = (
-        _mehrotra_solve_body if options.algorithm == "mehrotra" else _ip_solve_body
-    )
 
     def local(thetas, x0, y0, s0):
         # Local batch slice (replicated along the horizon axis); every
         # instance's Newton factorizations are SPIKE-distributed over the
         # horizon teammates. vmap and the collective commute: the batch axis
-        # is unrelated to the gathered interface axis.
-        with jax.default_matmul_precision(options.matmul_precision):
-            return jax.vmap(
-                lambda t, x, y, s: body(
-                    mcp, options, t, x, y, s, tridiag_solver=solver_fn
-                )
-            )(thetas, x0, y0, s0)
+        # is unrelated to the gathered interface axis. Differentiable (IFT
+        # custom_jvp with the sensitivity solves SPIKE-distributed too).
+        return jax.vmap(
+            lambda t, x, y, s: _solve_ts(mcp, options, solver_fn, t, x, y, s)
+        )(thetas, x0, y0, s0)
 
     bspec = P(batch_axis)
     fn = jax.shard_map(

@@ -130,15 +130,22 @@ def ip_solve(
     x0: Array,
     y0: Array,
     s0: Array,
+    tridiag_solver=None,
 ) -> SolveResult:
     """One interior-point solve. Pure, shape-static, vmap-able over
-    (theta, x0, y0, s0). Not differentiable — use diff.solve for that."""
+    (theta, x0, y0, s0). Not differentiable — use diff.solve for that.
+    ``tridiag_solver`` optionally overrides the block-tridiagonal backend
+    with a callable (e.g. the horizon-sharded SPIKE solve)."""
     with jax.default_matmul_precision(options.matmul_precision):
         if options.algorithm == "mehrotra":
-            return _mehrotra_solve_body(mcp, options, theta, x0, y0, s0)
+            return _mehrotra_solve_body(
+                mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver
+            )
         if options.algorithm != "ip":
             raise ValueError(f"unknown algorithm {options.algorithm!r}")
-        return _ip_solve_body(mcp, options, theta, x0, y0, s0)
+        return _ip_solve_body(
+            mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver
+        )
 
 
 def _tridiag_algorithm(options, tridiag_solver):

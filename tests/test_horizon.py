@@ -12,6 +12,7 @@ from mcp_tpu import solve
 from mcp_tpu.bench import lane_change as lc
 from mcp_tpu.kernels.block_tridiag import block_thomas_solve
 from mcp_tpu.parallel.horizon import (
+    horizon_sharded_solve_fn,
     horizon_sharded_tridiag_solve,
     make_dp_horizon_mesh,
     make_horizon_mesh,
@@ -96,6 +97,38 @@ class TestShardedIPSolve:
         )
         np.testing.assert_allclose(
             np.asarray(sol_sh.x), np.asarray(sol_ref.x), atol=1e-8
+        )
+
+    def test_gradient_matches_single_device(self):
+        """jax.grad through the horizon-sharded solve (IFT sensitivities
+        with SPIKE-distributed tridiagonal solves) equals the single-device
+        tridiag gradient."""
+        from mcp_tpu.solver import default_initialization
+
+        bench = lc.generate_test_problem(horizon=16)
+        mcp = bench.parametric_game.mcp
+        theta = lc.generate_random_parameter(
+            jax.random.PRNGKey(2), bench, dtype=jnp.float64
+        )
+        opts = SolverOptions(
+            linear_solver="tridiag", sensitivity_solver="tridiag", tol=1e-6
+        )
+        x0, y0, s0 = default_initialization(mcp, theta)
+
+        def loss_ref(t):
+            sol = solve(mcp, t, options=opts)
+            return jnp.sum(sol.x**2)
+
+        fn = horizon_sharded_solve_fn(mcp, mesh=make_horizon_mesh(), options=opts)
+
+        def loss_sh(t):
+            sol = fn(t, x0, y0, s0)
+            return jnp.sum(sol.x**2)
+
+        g_ref = jax.grad(loss_ref)(theta)
+        g_sh = jax.grad(loss_sh)(theta)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), rtol=1e-6, atol=1e-8
         )
 
     def test_requires_tridiag_tier(self):
