@@ -1,0 +1,114 @@
+"""Per-phase micro-profile of the tridiag (headline) interior-point
+iteration on the lane-change bench: (a) colored-seed residual+band assembly
+(gh_banded), (b) banded Newton step (Schur reduction + block-Thomas),
+(c) the two fraction-to-the-boundary linesearches, (d) whole-solve
+reference. Identifies which phase bounds the 285 solves/s headline."""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--batch", type=int, default=64)
+parser.add_argument("--iters", type=int, default=30)
+parser.add_argument("--cpu", action="store_true")
+args = parser.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+from mcp_tpu.bench import lane_change as lc
+from mcp_tpu.kernels.block_tridiag import (
+    banded_newton_step_compressed,
+    gh_banded,
+)
+from mcp_tpu.solver import SolverOptions, fraction_to_the_boundary_linesearch
+
+B, K = args.batch, args.iters
+print("device:", jax.devices()[0], f"B={B} iters={K}")
+
+bench = lc.generate_test_problem(horizon=10)
+mcp = bench.parametric_game.mcp
+ts = mcp.time_structure
+n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+print(f"n={n} m={m} T={ts.num_blocks} b={ts.block_size} mt={ts.rows_per_block}")
+
+key = jax.random.PRNGKey(1)
+thetas = lc.generate_parameter_batch(key, B, bench, dtype=jnp.float32)
+x = jnp.zeros((B, n), jnp.float32)
+y = jnp.ones((B, m), jnp.float32)
+s = jnp.ones((B, m), jnp.float32)
+eps = jnp.float32(0.5)
+tol = 1e-4
+
+
+def timeit(name, body, c0):
+    @jax.jit
+    def run(c):
+        return lax.fori_loop(0, K, body, c)
+
+    out = jax.block_until_ready(run(c0))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(c0))
+    dt = (time.perf_counter() - t0) / K * 1e3
+    print(f"{name:38s} {dt:8.3f} ms/iter")
+    return out
+
+
+with jax.default_matmul_precision("highest"):
+    # (a) assembly: fused residual + banded Jacobian via colored seeds
+    def assembly(i, c):
+        g, h, diag, lower, upper, Gy_b, Hx_b = jax.vmap(
+            lambda xx, yy, tt: gh_banded(mcp, ts, xx, yy, tt)
+        )(x + c * 0, y, thetas)
+        return c + jnp.sum(diag) * 1e-20
+
+    timeit("gh_banded assembly", assembly, jnp.float32(0))
+
+    # precompute bands once for phase (b)
+    g, h, diag, lower, upper, Gy_b, Hx_b = jax.jit(
+        jax.vmap(lambda xx, yy, tt: gh_banded(mcp, ts, xx, yy, tt))
+    )(x, y, thetas)
+    rG, rH, rC = g, h - s, s * y - eps
+
+    def newton(i, c):
+        dx, dy, ds = jax.vmap(
+            lambda D, L, U, GY, HX, yy, ss, a, b_, cc: banded_newton_step_compressed(
+                D, L, U, GY, HX, yy, ss, a, b_, cc, tol, ts
+            )
+        )(diag + c * 0, lower, upper, Gy_b, Hx_b, y, s, rG, rH, rC)
+        return c + jnp.sum(dx) * 1e-20
+
+    timeit("banded newton step (schur+thomas)", newton, jnp.float32(0))
+
+    # (c) linesearches (two per iteration)
+    ds = jax.random.normal(jax.random.PRNGKey(2), (B, m), jnp.float32)
+    dy = jax.random.normal(jax.random.PRNGKey(3), (B, m), jnp.float32)
+
+    def linesearch(i, c):
+        ls = lambda v, dv: fraction_to_the_boundary_linesearch(
+            v, dv, tau=0.995, decay=0.5, min_stepsize=1e-4
+        )
+        a1 = jax.vmap(ls)(s + c * 0, ds)
+        a2 = jax.vmap(ls)(y + c * 0, dy)
+        return c + jnp.sum(a1 + a2) * 1e-20
+
+    timeit("2x frac-to-boundary linesearch", linesearch, jnp.float32(0))
+
+    # (d) whole solve, for the per-iteration budget comparison
+    from mcp_tpu.parallel.batch import solve_batch
+
+    opts = SolverOptions(linear_solver="tridiag")
+    sol = solve_batch(mcp, thetas, options=opts)
+    jax.block_until_ready(sol.x)
+    t0 = time.perf_counter()
+    sol = solve_batch(mcp, thetas, options=opts)
+    jax.block_until_ready(sol.x)
+    dt = time.perf_counter() - t0
+    iters = int(jnp.max(sol.outer_iters))
+    print(
+        f"{'full solve_batch (tridiag)':38s} {dt*1e3:8.1f} ms/batch "
+        f"(max outer={iters}, median={float(jnp.median(sol.outer_iters))})"
+    )
