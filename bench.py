@@ -38,19 +38,21 @@ def main() -> None:
     # IP algorithm: the reference-parity annealed loop, or the Mehrotra
     # predictor-corrector (shines on the warm suite: ~3 vs ~7 iterations).
     parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra"])
-    # Batch 64 saturates one v5e chip for the lane-change problem size
-    # (measured: 149-162 solves/s at 64 vs 133 at 256).
-    parser.add_argument("--batch", type=int, default=64)
+    # With the fused Pallas Thomas tier, throughput keeps climbing past one
+    # VMEM tile's worth of systems (measured: 637/s at 64, 724/s at 128 —
+    # the 32-system kernel tiles amortize across grid steps).
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
-    # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag" (colored-seed
-    # banded assembly + block-Thomas) is the fastest: 288 solves/s vs 162
-    # schur_pallas vs 149 schur on the lane-change bench. Its former 35-min
-    # TPU compile blowup was XLA constant-folding the in-graph
-    # inverse-permutation scatters; with host-argsorted inverses it compiles
-    # in ~10 s.
-    parser.add_argument("--tier", default="tridiag")
+    # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
+    # (colored-seed banded assembly + the fused whole-batch Pallas
+    # block-Thomas, kernels/thomas_pallas.py) is the fastest: 637 solves/s
+    # vs 288 tridiag (XLA-scan Thomas) vs 193 schur_pallas vs 149 schur on
+    # the lane-change bench — the XLA scan spent 60% of each iteration in
+    # 10 sequential tiny batched LU dispatches that the fused kernel runs
+    # in one VMEM-resident pallas_call.
+    parser.add_argument("--tier", default="tridiag_pallas")
     args = parser.parse_args()
 
     import jax
@@ -73,7 +75,7 @@ def main() -> None:
         mcp = problem.mcp
         thetas = qp.generate_parameter_batch(key, batch, dtype=jnp.float32)
         metric_name = "qp_mcp_solves_per_sec"
-        if args.tier in ("tridiag", "tridiag_cr"):
+        if args.tier.startswith("tridiag"):
             args.tier = "schur"  # QPs have no time structure; schur is exact
     else:
         bench = lc.generate_test_problem(horizon=10)

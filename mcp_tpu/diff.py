@@ -213,6 +213,14 @@ def _banded_ift_tangent(
 
     if tridiag_solver is not None:
         solver = tridiag_solver  # e.g. the horizon-sharded SPIKE solve
+    elif options.linear_solver == "tridiag_pallas":
+        from .kernels.thomas_pallas import thomas_solve
+
+        solver = thomas_solve
+    elif options.linear_solver == "tridiag_auto":
+        from .kernels.thomas_pallas import auto_thomas_solve
+
+        solver = auto_thomas_solve
     elif options.linear_solver == "tridiag_cr":
         solver = block_cyclic_reduction_solve
     else:

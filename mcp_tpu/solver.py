@@ -154,7 +154,18 @@ def _tridiag_algorithm(options, tridiag_solver):
     parallel/horizon.py) wins over the options string."""
     if tridiag_solver is not None:
         return tridiag_solver
+    if options.linear_solver == "tridiag_pallas":
+        from .kernels.thomas_pallas import thomas_solve
+
+        return thomas_solve
+    if options.linear_solver == "tridiag_auto":
+        from .kernels.thomas_pallas import auto_thomas_solve
+
+        return auto_thomas_solve
     return "cr" if options.linear_solver == "tridiag_cr" else "thomas"
+
+
+_TRIDIAG_TIERS = ("tridiag", "tridiag_cr", "tridiag_pallas", "tridiag_auto")
 
 
 def _ip_solve_body(
@@ -166,7 +177,7 @@ def _ip_solve_body(
     s0: Array,
     tridiag_solver=None,
 ) -> SolveResult:
-    tridiag_family = options.linear_solver in ("tridiag", "tridiag_cr")
+    tridiag_family = options.linear_solver in _TRIDIAG_TIERS
     if tridiag_family and mcp.time_structure is None:
         raise ValueError(
             "linear_solver='tridiag' requires an MCP with time_structure "
@@ -367,7 +378,7 @@ def _mehrotra_solve_body(
         # Newton loop is identical and already handles this shape.
         return _ip_solve_body(mcp, options, theta, x0, y0, s0)
 
-    tridiag_family = options.linear_solver in ("tridiag", "tridiag_cr")
+    tridiag_family = options.linear_solver in _TRIDIAG_TIERS
     if tridiag_family and mcp.time_structure is None:
         raise ValueError(
             "linear_solver='tridiag' requires an MCP with time_structure "

@@ -64,6 +64,91 @@ class TestBlockThomas:
         np.testing.assert_allclose(x, x_ref, atol=1e-8)
 
 
+class TestPallasThomas:
+    """Fused whole-batch Pallas block-Thomas (kernels/thomas_pallas.py),
+    interpret mode on CPU."""
+
+    def test_matches_xla_thomas(self):
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, T, b = 6, 10, 12
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = jax.vmap(block_thomas_solve)(diag, lower, upper, rhs)
+        x = pallas_block_thomas(diag, lower, upper, rhs, batch_tile=3)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+
+    def test_custom_vmap_and_single(self):
+        from mcp_tpu.kernels.thomas_pallas import thomas_solve
+
+        B, T, b = 4, 6, 8
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(1), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 5 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = jax.vmap(block_thomas_solve)(diag, lower, upper, rhs)
+        xv = jax.vmap(thomas_solve)(diag, lower, upper, rhs)
+        np.testing.assert_allclose(np.asarray(xv), np.asarray(x_ref), atol=1e-5)
+        x1 = thomas_solve(diag[0], lower[0], upper[0], rhs[0])
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x_ref[0]), atol=1e-5)
+
+    def test_auto_dispatch(self):
+        """auto_thomas_solve picks the kernel for small blocks and the XLA
+        scan above PALLAS_THOMAS_MAX_BLOCK; both match the reference scan."""
+        from mcp_tpu.kernels.thomas_pallas import (
+            PALLAS_THOMAS_MAX_BLOCK,
+            auto_thomas_solve,
+        )
+
+        for b in (8, PALLAS_THOMAS_MAX_BLOCK + 8):
+            T = 5
+            k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(b), 4)
+            f32 = jnp.float32
+            diag = jax.random.normal(k1, (T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+            lower = 0.3 * jax.random.normal(k2, (T - 1, b, b), f32)
+            upper = 0.3 * jax.random.normal(k3, (T - 1, b, b), f32)
+            rhs = jax.random.normal(k4, (T, b), f32)
+            x = auto_thomas_solve(diag, lower, upper, rhs)
+            x_ref = block_thomas_solve(diag, lower, upper, rhs)
+            np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+
+    def test_tier_auto_full_solve(self):
+        """tridiag_auto tier solves the lane-change game (small blocks →
+        kernel path) with the same iterates as tridiag."""
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        thetas = lc.generate_parameter_batch(
+            jax.random.PRNGKey(2), 2, bench, dtype=jnp.float32
+        )
+        s1 = solve_batch(mcp, thetas, options=SolverOptions(linear_solver="tridiag"))
+        s2 = solve_batch(
+            mcp, thetas, options=SolverOptions(linear_solver="tridiag_auto")
+        )
+        np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x), atol=2e-4)
+
+    def test_tier_full_solve_parity(self):
+        """tridiag_pallas tier reproduces the tridiag tier's iterates."""
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        thetas = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        s1 = solve_batch(mcp, thetas, options=SolverOptions(linear_solver="tridiag"))
+        s2 = solve_batch(
+            mcp, thetas, options=SolverOptions(linear_solver="tridiag_pallas")
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s1.outer_iters), np.asarray(s2.outer_iters)
+        )
+        np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x), atol=2e-4)
+
+
 class TestCyclicReduction:
     @pytest.mark.parametrize("T", [3, 4, 5, 8, 13])
     def test_matches_thomas(self, T):
