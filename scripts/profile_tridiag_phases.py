@@ -15,6 +15,9 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--batch", type=int, default=64)
 parser.add_argument("--iters", type=int, default=30)
 parser.add_argument("--cpu", action="store_true")
+# Block-tridiagonal backend for phases (b) and (d): "thomas" (XLA scan),
+# "pallas" (fused whole-batch kernel), "cr" (cyclic reduction).
+parser.add_argument("--algorithm", default="thomas", choices=["thomas", "pallas", "cr"])
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -73,15 +76,22 @@ with jax.default_matmul_precision("highest"):
     )(x, y, thetas)
     rG, rH, rC = g, h - s, s * y - eps
 
+    if args.algorithm == "pallas":
+        from mcp_tpu.kernels.thomas_pallas import thomas_solve as algo
+    elif args.algorithm == "cr":
+        algo = "cr"
+    else:
+        algo = "thomas"
+
     def newton(i, c):
         dx, dy, ds = jax.vmap(
             lambda D, L, U, GY, HX, yy, ss, a, b_, cc: banded_newton_step_compressed(
-                D, L, U, GY, HX, yy, ss, a, b_, cc, tol, ts
+                D, L, U, GY, HX, yy, ss, a, b_, cc, tol, ts, algorithm=algo
             )
         )(diag + c * 0, lower, upper, Gy_b, Hx_b, y, s, rG, rH, rC)
         return c + jnp.sum(dx) * 1e-20
 
-    timeit("banded newton step (schur+thomas)", newton, jnp.float32(0))
+    timeit(f"banded newton step (schur+{args.algorithm})", newton, jnp.float32(0))
 
     # (c) linesearches (two per iteration)
     ds = jax.random.normal(jax.random.PRNGKey(2), (B, m), jnp.float32)
@@ -100,7 +110,10 @@ with jax.default_matmul_precision("highest"):
     # (d) whole solve, for the per-iteration budget comparison
     from mcp_tpu.parallel.batch import solve_batch
 
-    opts = SolverOptions(linear_solver="tridiag")
+    tier = {"thomas": "tridiag", "pallas": "tridiag_pallas", "cr": "tridiag_cr"}[
+        args.algorithm
+    ]
+    opts = SolverOptions(linear_solver=tier)
     sol = solve_batch(mcp, thetas, options=opts)
     jax.block_until_ready(sol.x)
     t0 = time.perf_counter()
@@ -109,6 +122,6 @@ with jax.default_matmul_precision("highest"):
     dt = time.perf_counter() - t0
     iters = int(jnp.max(sol.outer_iters))
     print(
-        f"{'full solve_batch (tridiag)':38s} {dt*1e3:8.1f} ms/batch "
+        f"{f'full solve_batch ({tier})':38s} {dt*1e3:8.1f} ms/batch "
         f"(max outer={iters}, median={float(jnp.median(sol.outer_iters))})"
     )
