@@ -39,19 +39,20 @@ def main() -> None:
     # predictor-corrector (shines on the warm suite: ~3 vs ~7 iterations).
     parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra"])
     # With the fused Pallas Thomas tier, throughput keeps climbing past one
-    # VMEM tile's worth of systems (measured: 637/s at 64, 724/s at 128 —
-    # the 32-system kernel tiles amortize across grid steps).
-    parser.add_argument("--batch", type=int, default=128)
+    # VMEM tile's worth of systems (measured with the lane-packed kernel:
+    # 779/s at 128, 852/s at 256).
+    parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
     # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
-    # (colored-seed banded assembly + the fused whole-batch Pallas
-    # block-Thomas, kernels/thomas_pallas.py) is the fastest: 637 solves/s
-    # vs 288 tridiag (XLA-scan Thomas) vs 193 schur_pallas vs 149 schur on
-    # the lane-change bench — the XLA scan spent 60% of each iteration in
-    # 10 sequential tiny batched LU dispatches that the fused kernel runs
-    # in one VMEM-resident pallas_call.
+    # (colored-seed banded assembly + the fused whole-batch lane-packed
+    # Pallas block-Thomas, kernels/thomas_pallas.py) is the fastest:
+    # 852 solves/s at batch 256 vs 288 tridiag (XLA-scan Thomas) vs 193
+    # schur_pallas vs 149 schur on the lane-change bench — the XLA scan
+    # spent 60% of each iteration in 10 sequential tiny batched LU
+    # dispatches that the fused kernel runs in one VMEM-resident
+    # pallas_call.
     parser.add_argument("--tier", default="tridiag_pallas")
     args = parser.parse_args()
 

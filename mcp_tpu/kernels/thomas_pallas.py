@@ -30,6 +30,51 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _qr_solve_aug(M, *, b: int):
+    """Solve M[:, :, :b] X = M[:, :, b:] in place; M (TB, b, nc) for any
+    nc > b. Pivot-free Householder QR, every step a lane-friendly
+    reduction + rank-1 update over the whole batch tile (same scheme as
+    linear_solve._qr_solve_aug_kernel). Returns X (TB, b, nc-b)."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    rows = lax.broadcasted_iota(jnp.int32, (1, b), 1)  # (1, b)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, nc), 2)
+    eps = jnp.asarray(1e-30, dtype)
+    dnb = (((2,), (1,)), ((0,), (0,)))  # (TB,1,b) @ (TB,b,·)
+
+    def reflect(k, M):
+        onehot_l = (lane == k).astype(dtype)
+        col = jnp.sum(M * onehot_l, axis=2)  # (TB, b)
+        below = (rows >= k).astype(dtype)
+        pivot = (rows == k).astype(dtype)
+        v = col * below
+        vk = jnp.sum(v * pivot, axis=1, keepdims=True)
+        norm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True) + eps)
+        sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
+        u = v + (sign * norm) * pivot
+        beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)
+        w = lax.dot_general(u[:, None, :], M, dnb, preferred_element_type=dtype)[:, 0, :]
+        return M - (beta * u)[:, :, None] * w[:, None, :]
+
+    M = lax.fori_loop(0, b, reflect, M)
+
+    def backsub(i, X):
+        k = b - 1 - i
+        row_k = jnp.sum(M * (rows[:, :, None] == k).astype(dtype), axis=1)
+        # Pure slices only: mixing None with a partial slice in one
+        # __getitem__ lowers via lax.gather, which Mosaic rejects.
+        row_head = row_k[:, :b]
+        rkk = jnp.sum(row_head * (rows == k).astype(dtype), axis=1, keepdims=True)
+        dot = lax.dot_general(
+            row_head[:, None, :], X, dnb, preferred_element_type=dtype
+        )[:, 0, :]  # (TB, nc-b); X rows ≤ k are still zero
+        xk = (row_k[:, b:] - dot) / rkk
+        return X + xk[:, None, :] * (rows[:, :, None] == k).astype(dtype)
+
+    X0 = jnp.zeros((TB, b, nc - b), dtype)
+    return lax.fori_loop(0, b, backsub, X0)
+
+
 def _thomas_kernel(d_ref, l_ref, u_ref, r_ref, x_ref, cd_ref, *, T: int, b: int):
     """One grid step solves the whole batch tile.
 
@@ -40,50 +85,7 @@ def _thomas_kernel(d_ref, l_ref, u_ref, r_ref, x_ref, cd_ref, *, T: int, b: int)
     """
     dtype = x_ref.dtype
     TB = x_ref.shape[0]
-    nc = 2 * b + 1  # solve columns: [C (b) | d (1)] against denom (b)
-    rows = lax.broadcasted_iota(jnp.int32, (1, b), 1)  # (1, b)
-    lane = lax.broadcasted_iota(jnp.int32, (1, 1, nc), 2)
-    eps = jnp.asarray(1e-30, dtype)
-    dnb = (((2,), (1,)), ((0,), (0,)))  # (TB,1,b) @ (TB,b,·)
-
-    def qr_solve_aug(M):
-        """Solve M[:, :, :b] X = M[:, :, b:] in place; M (TB, b, 2b+1).
-        Returns X (TB, b, b+1). Same fused augmented scheme as
-        linear_solve._qr_solve_aug_kernel, multi-RHS."""
-
-        def reflect(k, M):
-            onehot_l = (lane == k).astype(dtype)
-            col = jnp.sum(M * onehot_l, axis=2)  # (TB, b)
-            below = (rows >= k).astype(dtype)
-            pivot = (rows == k).astype(dtype)
-            v = col * below
-            vk = jnp.sum(v * pivot, axis=1, keepdims=True)
-            norm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True) + eps)
-            sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
-            u = v + (sign * norm) * pivot
-            beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)
-            w = lax.dot_general(u[:, None, :], M, dnb, preferred_element_type=dtype)[:, 0, :]
-            return M - (beta * u)[:, :, None] * w[:, None, :]
-
-        M = lax.fori_loop(0, b, reflect, M)
-
-        def backsub(i, X):
-            k = b - 1 - i
-            row_k = jnp.sum(
-                M * (rows[:, :, None] == k).astype(dtype), axis=1
-            )  # (TB, nc)
-            # Pure slices only: mixing None with a partial slice in one
-            # __getitem__ lowers via lax.gather, which Mosaic rejects.
-            row_head = row_k[:, :b]
-            rkk = jnp.sum(row_head * (rows == k).astype(dtype), axis=1, keepdims=True)
-            dot = lax.dot_general(
-                row_head[:, None, :], X, dnb, preferred_element_type=dtype
-            )[:, 0, :]  # (TB, b+1); X rows ≤ k are still zero
-            xk = (row_k[:, b:] - dot) / rkk
-            return X + xk[:, None, :] * (rows[:, :, None] == k).astype(dtype)
-
-        X0 = jnp.zeros((TB, b, b + 1), dtype)
-        return lax.fori_loop(0, b, backsub, X0)
+    qr_solve_aug = functools.partial(_qr_solve_aug, b=b)
 
     def fwd(t, _):
         D = d_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b, b)
@@ -126,6 +128,267 @@ def _thomas_kernel(d_ref, l_ref, u_ref, r_ref, x_ref, cd_ref, *, T: int, b: int)
     lax.fori_loop(0, T, bwd, jnp.zeros((TB, b), dtype), unroll=False)
 
 
+def _thomas_kernel_packed(band_ref, out_ref, x_ref, *, T: int, b: int):
+    """Lane-packed in-place variant: band_ref (TB, T, b, 3b+1) holds
+    [D | L | U | r] in lane segments (L[t] couples row t to t−1, zero at
+    t=0; U[t] couples to t+1, zero at t=T−1). band_ref is aliased to
+    out_ref (input_output_aliases), so step t overwrites its block with
+    [C | L | U | d] — no separate scratch array. One 128-lane tile per
+    (system, time) block instead of four: ~4x less VMEM per system than
+    `_thomas_kernel`, so the batch tile (and with it the number of
+    sequential grid steps) shrinks proportionally."""
+    del out_ref  # same buffer as band_ref
+    dtype = x_ref.dtype
+    TB = x_ref.shape[0]
+    qr_solve_aug = functools.partial(_qr_solve_aug, b=b)
+
+    def fwd(t, _):
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b, 3b+1)
+        D = blk[:, :, :b]
+        L = blk[:, :, b : 2 * b]
+        U = blk[:, :, 2 * b : 3 * b]
+        r = blk[:, :, 3 * b :]  # (TB, b, 1)
+        tp = jnp.maximum(t - 1, 0)
+        prev = jnp.where(
+            t > 0, band_ref[:, pl.ds(tp, 1)][:, 0], jnp.zeros((), dtype)
+        )
+        C_prev = prev[:, :, :b]
+        d_prev = prev[:, :, 3 * b :]
+        denom = D - lax.dot_general(
+            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype
+        )
+        Ld = lax.dot_general(L, d_prev, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=dtype)
+        M = jnp.concatenate([denom, U, r - Ld], axis=2)
+        Cd = qr_solve_aug(M)  # (TB, b, b+1)
+        # Full-width aligned store: [C | L | U | d] over [D | L | U | r].
+        blk_new = jnp.concatenate([Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2)
+        band_ref[:, pl.ds(t, 1)] = blk_new[:, None]
+        return 0
+
+    lax.fori_loop(0, T, fwd, 0, unroll=False)
+
+    def bwd(i, x_next):
+        t = T - 1 - i
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]
+        x_t = (
+            blk[:, :, 3 * b :]
+            - lax.dot_general(
+                blk[:, :, :b], x_next[:, :, None], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype,
+            )
+        )[:, :, 0]
+        x_ref[:, pl.ds(t, 1)] = x_t[:, None]
+        return x_t
+
+    lax.fori_loop(0, T, bwd, jnp.zeros((TB, b), dtype), unroll=False)
+
+
+def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int):
+    """Two-way ("burn at both ends") lane-packed block-Thomas.
+
+    The plain sweep is latency-bound on its 2T-step serial chain. Here the
+    elimination runs from BOTH ends simultaneously with the two directions
+    folded into the batch axis (identical per-step op count, half the
+    steps), meeting at a junction solved by one extra b×b QR:
+
+        left  (dir 0): t = 0..ml−1,      x_t = d_t − C_t·x_{t+1}
+        right (dir 1): t = T−1..ml,      x_t = e_t − E_t·x_{t−1}
+        junction:      (I − C_{ml−1}·E_{ml})·x_{ml−1} = d_{ml−1} − C_{ml−1}·e_{ml}
+
+    band_ref (TB, 2, ml, b, 3b+1): dir 0 holds [D|L|U|r] at position t; dir
+    1 holds the time-reversed blocks with the L/U roles swapped (the right
+    recursion is the left one on the reversed system), shift-aligned so the
+    junction-adjacent block of BOTH directions sits at position ml−1 (odd T
+    puts one identity pad block at dir-1 position 0). In-place overwrite
+    with [C|L|U|d] as in the one-way packed kernel."""
+    del out_ref
+    dtype = x_ref.dtype
+    TB = x_ref.shape[0]
+    mr = T - ml
+    shift = ml - mr  # 0 (T even) or 1 (T odd)
+    dnb = (((2,), (1,)), ((0,), (0,)))
+
+    def fwd(pos, _):
+        blk = band_ref[:, :, pl.ds(pos, 1)].reshape(2 * TB, b, 3 * b + 1)
+        D = blk[:, :, :b]
+        L = blk[:, :, b : 2 * b]
+        U = blk[:, :, 2 * b : 3 * b]
+        r = blk[:, :, 3 * b :]
+        pp = jnp.maximum(pos - 1, 0)
+        prev = jnp.where(
+            pos > 0,
+            band_ref[:, :, pl.ds(pp, 1)].reshape(2 * TB, b, 3 * b + 1),
+            jnp.zeros((), dtype),
+        )
+        C_prev = prev[:, :, :b]
+        d_prev = prev[:, :, 3 * b :]
+        denom = D - lax.dot_general(L, C_prev, dnb, preferred_element_type=dtype)
+        Ld = lax.dot_general(L, d_prev, dnb, preferred_element_type=dtype)
+        M = jnp.concatenate([denom, U, r - Ld], axis=2)
+        Cd = _qr_solve_aug(M, b=b)  # (2TB, b, b+1)
+        blk_new = jnp.concatenate([Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2)
+        band_ref[:, :, pl.ds(pos, 1)] = blk_new.reshape(TB, 2, 1, b, 3 * b + 1)
+        return 0
+
+    lax.fori_loop(0, ml, fwd, 0, unroll=False)
+
+    # Junction: both directions' boundary factors live at position ml−1.
+    blkL = band_ref[:, 0:1, pl.ds(ml - 1, 1)].reshape(TB, b, 3 * b + 1)
+    blkR = band_ref[:, 1:2, pl.ds(ml - 1, 1)].reshape(TB, b, 3 * b + 1)
+    C_L, d_L = blkL[:, :, :b], blkL[:, :, 3 * b :]
+    E_R, e_R = blkR[:, :, :b], blkR[:, :, 3 * b :]
+    eye = (
+        lax.broadcasted_iota(jnp.int32, (1, b, b), 1)
+        == lax.broadcasted_iota(jnp.int32, (1, b, b), 2)
+    ).astype(dtype)
+    CE = lax.dot_general(C_L, E_R, dnb, preferred_element_type=dtype)
+    Ce = lax.dot_general(C_L, e_R, dnb, preferred_element_type=dtype)
+    Mj = jnp.concatenate([eye - CE, d_L - Ce], axis=2)  # (TB, b, b+1)
+    x_ml1 = _qr_solve_aug(Mj, b=b)[:, :, 0]  # x_{ml−1}  (TB, b)
+    x_ref[:, pl.ds(ml - 1, 1)] = x_ml1[:, None]
+    x_ml = (
+        e_R - lax.dot_general(E_R, x_ml1[:, :, None], dnb,
+                              preferred_element_type=dtype)
+    )[:, :, 0]
+    x_ref[:, pl.ds(ml, 1)] = x_ml[:, None]
+
+    # Back-substitute both chains together: at step i, dir 0 produces
+    # x_{pos} and dir 1 produces x_{2ml−1−pos} with pos = ml−2−i. Chain
+    # lengths are ml−1 and mr−1; the common part runs fused, the odd-T
+    # leftover left step runs after the loop.
+    def bwd(i, x_prev):  # x_prev (TB, 2, b): [x_{pos+1}, x_{t_right−1}]
+        pos = ml - 2 - i
+        Cd = band_ref[:, :, pl.ds(pos, 1)].reshape(2 * TB, b, 3 * b + 1)
+        x2 = (
+            Cd[:, :, 3 * b :]
+            - lax.dot_general(
+                Cd[:, :, :b],
+                x_prev.reshape(2 * TB, b)[:, :, None],
+                dnb,
+                preferred_element_type=dtype,
+            )
+        )[:, :, 0].reshape(TB, 2, b)
+        x_ref[:, pl.ds(pos, 1)] = x2[:, 0][:, None]
+        x_ref[:, pl.ds(2 * ml - 1 - pos, 1)] = x2[:, 1][:, None]
+        return x2
+
+    # Broadcast-select, not concatenate: the two vectors carry different
+    # internal lane offsets here and Mosaic rejects their concat along a
+    # non-lane dim ("result/input offset mismatch on non-concat dimension").
+    dir_iota = lax.broadcasted_iota(jnp.int32, (1, 2, 1), 1)
+    x_prev0 = jnp.where(dir_iota == 0, x_ml1[:, None], x_ml[:, None])
+    x_last = lax.fori_loop(0, mr - 1, bwd, x_prev0, unroll=False)
+    if shift:  # odd T: one extra left-only step at position 0
+        blk0 = band_ref[:, 0:1, pl.ds(0, 1)].reshape(TB, b, 3 * b + 1)
+        x0 = (
+            blk0[:, :, 3 * b :]
+            - lax.dot_general(
+                blk0[:, :, :b], x_last[:, 0][:, :, None], dnb,
+                preferred_element_type=dtype,
+            )
+        )[:, :, 0]
+        x_ref[:, pl.ds(0, 1)] = x0[:, None]
+
+
+def _pallas_block_thomas_babe(diag, lower_pad, upper_pad, rhs, batch_tile, interpret):
+    """Two-way packed dispatch: build the direction-folded band layout."""
+    B, T, b, _ = diag.shape
+    ml = (T + 1) // 2
+    mr = T - ml
+    shift = ml - mr
+    W = 3 * b + 1
+    left = jnp.concatenate(
+        [diag[:, :ml], lower_pad[:, :ml], upper_pad[:, :ml], rhs[:, :ml, :, None]],
+        axis=3,
+    )
+    # Right direction: time-reversed, with the lower/upper roles swapped
+    # (coupling to the sweep's previous step = original upper).
+    right = jnp.concatenate(
+        [diag[:, ml:], upper_pad[:, ml:], lower_pad[:, ml:], rhs[:, ml:, :, None]],
+        axis=3,
+    )[:, ::-1]
+    if shift:
+        pad_blk = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(b, dtype=diag.dtype), (B, 1, b, b)),
+                jnp.zeros((B, 1, b, 2 * b + 1), diag.dtype),
+            ],
+            axis=3,
+        )
+        right = jnp.concatenate([pad_blk, right], axis=1)
+    band = jnp.stack([left, right], axis=1)  # (B, 2, ml, b, W)
+    grid = (B // batch_tile,)
+    kernel = functools.partial(_thomas_kernel_babe, T=T, b=b, ml=ml)
+    blk = pl.BlockSpec(
+        (batch_tile, 2, ml, b, W), lambda i: (i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    _, x = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk],
+        out_specs=[
+            blk,
+            pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 2, ml, b, W), diag.dtype),
+            jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * b**3 + 6 * b**3),
+            bytes_accessed=B * T * b * W * 4 * 2,
+            transcendentals=B * T * b,
+        ),
+        # The direction-folded temporaries push the default 16MB scoped
+        # budget ~7% over at the largest tile; v5e has headroom above it.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
+        interpret=interpret,
+    )(band)
+    return x
+
+
+def _pallas_block_thomas_packed(diag, lower_pad, upper_pad, rhs, batch_tile, interpret):
+    """Lane-packed dispatch: pack [D|L|U|r] host-side, alias in/out."""
+    B, T, b, _ = diag.shape
+    packed = jnp.concatenate(
+        [diag, lower_pad, upper_pad, rhs[..., None]], axis=3
+    )  # (B, T, b, 3b+1)
+    grid = (B // batch_tile,)
+    kernel = functools.partial(_thomas_kernel_packed, T=T, b=b)
+    W = 3 * b + 1
+    blk = pl.BlockSpec(
+        (batch_tile, T, b, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    _, x = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk],
+        out_specs=[
+            blk,
+            pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, b, W), diag.dtype),
+            jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * b**3 + 6 * b**3),
+            bytes_accessed=B * T * b * W * 4 * 2,
+            transcendentals=B * T * b,
+        ),
+        interpret=interpret,
+    )(packed)
+    return x
+
+
 def pallas_block_thomas(
     diag: Array,
     lower: Array,
@@ -135,6 +398,7 @@ def pallas_block_thomas(
     batch_tile: int | None = None,
     vmem_budget_bytes: int = 10 * 2**20,
     interpret: bool | None = None,
+    two_way: bool | None = None,
 ) -> Array:
     """Batched fused block-Thomas: diag (B,T,b,b), lower/upper (B,T−1,b,b),
     rhs (B,T,b) → x (B,T,b). Batch tile defaults to the whole batch capped
@@ -145,15 +409,31 @@ def pallas_block_thomas(
     zero = jnp.zeros((B, 1, b, b), diag.dtype)
     lower_pad = jnp.concatenate([zero, lower], axis=1)  # [t] couples t→t−1
     upper_pad = jnp.concatenate([upper, zero], axis=1)  # [t] couples t→t+1
+    # Lane-packed in-place kernel whenever [D|L|U|r] fits one 128-lane tile
+    # per block: ~4x less VMEM per system (one padded array, no scratch) →
+    # a 2-4x larger batch tile → proportionally fewer sequential grid steps.
+    packed = 3 * b + 1 <= 128
+    if two_way is None:
+        # Measured (v5e): the two-way sweep wins where the serial chain
+        # dominates — flagship T=30/b=40: 69.2 vs 58.0 solves/s in-solver —
+        # but its host-side time-reversal copy costs ~9% at short-horizon
+        # big-batch shapes (T=10 lane-change: 779 vs 705 at B=128).
+        two_way = packed and T >= 20
     if batch_tile is None:
         # Mosaic pads the last two dims to (8, 128) tiles — a (20, 20)
-        # block occupies (24, 128) in VMEM. Empirically the kernel's scoped
+        # block occupies (24, 128) in VMEM. Unpacked, the kernel's scoped
         # VMEM is ~2 padded band-arrays per system (measured 16.2 MB at
-        # B=64, T=10, b=20); budget for that and floor to a power of two.
+        # B=64, T=10, b=20); packed, one. Budget and floor to a power of two.
         pad8 = -(-b // 8) * 8
-        per_sys = T * pad8 * 128 * diag.dtype.itemsize * 2
+        per_sys = T * pad8 * 128 * diag.dtype.itemsize * (1 if packed else 2)
         cap = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
         batch_tile = 1 << (cap.bit_length() - 1)  # largest pow2 ≤ cap
+    if packed and two_way:
+        impl = _pallas_block_thomas_babe
+    elif packed:
+        impl = _pallas_block_thomas_packed
+    else:
+        impl = _pallas_block_thomas_padded
     if B % batch_tile != 0:
         pad = batch_tile - B % batch_tile
         eyeb = jnp.broadcast_to(
@@ -167,12 +447,8 @@ def pallas_block_thomas(
             [upper_pad, jnp.zeros((pad, T, b, b), diag.dtype)]
         )
         rhs = jnp.concatenate([rhs, jnp.zeros((pad, T, b), rhs.dtype)])
-        return _pallas_block_thomas_padded(
-            diag, lower_pad, upper_pad, rhs, batch_tile, interpret
-        )[:B]
-    return _pallas_block_thomas_padded(
-        diag, lower_pad, upper_pad, rhs, batch_tile, interpret
-    )
+        return impl(diag, lower_pad, upper_pad, rhs, batch_tile, interpret)[:B]
+    return impl(diag, lower_pad, upper_pad, rhs, batch_tile, interpret)
 
 
 def _pallas_block_thomas_padded(diag, lower_pad, upper_pad, rhs, batch_tile, interpret):

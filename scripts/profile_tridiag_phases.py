@@ -27,7 +27,7 @@ from mcp_tpu.kernels.block_tridiag import (
     banded_newton_step_compressed,
     gh_banded,
 )
-from mcp_tpu.solver import SolverOptions, fraction_to_the_boundary_linesearch
+from mcp_tpu.solver import SolverOptions, fraction_to_the_boundary_linesearch_pair
 
 B, K = args.batch, args.iters
 print("device:", jax.devices()[0], f"B={B} iters={K}")
@@ -98,14 +98,15 @@ with jax.default_matmul_precision("highest"):
     dy = jax.random.normal(jax.random.PRNGKey(3), (B, m), jnp.float32)
 
     def linesearch(i, c):
-        ls = lambda v, dv: fraction_to_the_boundary_linesearch(
+        ls = lambda v, dv: fraction_to_the_boundary_linesearch_pair(
             v, dv, tau=0.995, decay=0.5, min_stepsize=1e-4
         )
-        a1 = jax.vmap(ls)(s + c * 0, ds)
-        a2 = jax.vmap(ls)(y + c * 0, dy)
-        return c + jnp.sum(a1 + a2) * 1e-20
+        a = jax.vmap(ls)(
+            jnp.stack([s + c * 0, y], axis=1), jnp.stack([ds, dy], axis=1)
+        )
+        return c + jnp.sum(a) * 1e-20
 
-    timeit("2x frac-to-boundary linesearch", linesearch, jnp.float32(0))
+    timeit("fused pair frac-to-boundary ls", linesearch, jnp.float32(0))
 
     # (d) whole solve, for the per-iteration budget comparison
     from mcp_tpu.parallel.batch import solve_batch

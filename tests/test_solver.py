@@ -5,6 +5,7 @@
     KKT:  G(x, y) = Mx - θ - Aᵀy = 0,   0 ≤ y ⟂ H(x, y) = Ax - b ≥ 0.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -132,3 +133,41 @@ class TestFloat32:
         assert sol.x.dtype == jnp.float32
         assert int(sol.status) == SOLVED
         np.testing.assert_array_less(np.abs(G(sol.x, sol.y, THETA)), 2e-2)
+
+
+class TestLinesearchPair:
+    def test_pair_matches_single(self):
+        """The fused pair fraction-to-the-boundary search returns bitwise
+        the same alphas as two independent searches (reference semantics:
+        src/solver.jl:127-138)."""
+        from mcp_tpu.solver import (
+            fraction_to_the_boundary_linesearch,
+            fraction_to_the_boundary_linesearch_pair,
+        )
+
+        key = jax.random.PRNGKey(0)
+        kw = dict(tau=0.995, decay=0.5, min_stepsize=1e-4)
+        for i in range(50):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            m = 23
+            scale = 10.0 ** jax.random.uniform(k3, (), minval=-4, maxval=1)
+            v = jnp.abs(jax.random.normal(k1, (2, m))) * scale
+            dv = jax.random.normal(k2, (2, m)) * 10.0 * scale
+            a = fraction_to_the_boundary_linesearch_pair(v, dv, **kw)
+            expect = jnp.stack(
+                [
+                    fraction_to_the_boundary_linesearch(v[0], dv[0], **kw),
+                    fraction_to_the_boundary_linesearch(v[1], dv[1], **kw),
+                ]
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(expect))
+
+    def test_pair_infeasible_is_nan(self):
+        from mcp_tpu.solver import fraction_to_the_boundary_linesearch_pair
+
+        v = jnp.full((2, 5), 1e-9)
+        dv = jnp.full((2, 5), -1.0)
+        a = fraction_to_the_boundary_linesearch_pair(
+            v, dv, tau=0.995, decay=0.5, min_stepsize=1e-4
+        )
+        assert bool(jnp.all(jnp.isnan(a)))

@@ -82,6 +82,42 @@ class TestPallasThomas:
         x = pallas_block_thomas(diag, lower, upper, rhs, batch_tile=3)
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
 
+    @pytest.mark.parametrize("T", [2, 3, 5, 10])
+    def test_two_way_matches_one_way(self, T):
+        """The two-way (BABE) sweep matches the one-way packed kernel and
+        the XLA scan for even and odd T."""
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, b = 4, 8
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(T), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = jax.vmap(block_thomas_solve)(diag, lower, upper, rhs)
+        x2 = pallas_block_thomas(diag, lower, upper, rhs, two_way=True)
+        x1 = pallas_block_thomas(diag, lower, upper, rhs, two_way=False)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x_ref), atol=1e-5)
+
+    def test_unpacked_fallback_large_block(self):
+        """b=44 (3b+1 > 128 lanes) routes to the unpacked kernel."""
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, T, b = 2, 3, 44
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 9 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = jax.vmap(block_thomas_solve)(diag, lower, upper, rhs)
+        x = pallas_block_thomas(diag, lower, upper, rhs)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(x_ref), rtol=2e-4, atol=1e-4
+        )
+
     def test_custom_vmap_and_single(self):
         from mcp_tpu.kernels.thomas_pallas import thomas_solve
 
