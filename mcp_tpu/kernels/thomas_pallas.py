@@ -419,6 +419,9 @@ def pallas_block_thomas(
         # but its host-side time-reversal copy costs ~9% at short-horizon
         # big-batch shapes (T=10 lane-change: 779 vs 705 at B=128).
         two_way = packed and T >= 20
+    # The two-way sweep needs a junction between two blocks; at T=1 its
+    # x_{ml} store would be out of bounds.
+    two_way = two_way and packed and T >= 2
     if batch_tile is None:
         # Mosaic pads the last two dims to (8, 128) tiles — a (20, 20)
         # block occupies (24, 128) in VMEM. Unpacked, the kernel's scoped

@@ -243,13 +243,13 @@ def horizon_sharded_solve_fn(
     Same validation as `solve_horizon_sharded`."""
     import dataclasses
 
-    from ..solver import SolverOptions
+    from ..solver import SolverOptions, _TRIDIAG_TIERS
 
     if options is None:
         options = SolverOptions(linear_solver="tridiag", **option_overrides)
     elif option_overrides:
         options = dataclasses.replace(options, **option_overrides)
-    if options.linear_solver not in ("tridiag", "tridiag_cr"):
+    if options.linear_solver not in _TRIDIAG_TIERS:
         raise ValueError(
             "solve_horizon_sharded requires a tridiag-family linear_solver"
         )
@@ -293,13 +293,13 @@ def solve_horizon_sharded(
     T divisible by the mesh size with T/D ≥ 2."""
     import dataclasses
 
-    from ..solver import SolverOptions, default_initialization
+    from ..solver import SolverOptions, _TRIDIAG_TIERS, default_initialization
 
     if options is None:
         options = SolverOptions(linear_solver="tridiag", **option_overrides)
     elif option_overrides:
         options = dataclasses.replace(options, **option_overrides)
-    if options.linear_solver not in ("tridiag", "tridiag_cr"):
+    if options.linear_solver not in _TRIDIAG_TIERS:
         raise ValueError(
             "solve_horizon_sharded requires a tridiag-family linear_solver"
         )
@@ -379,13 +379,13 @@ def solve_batch_horizon_sharded(
     device."""
     import dataclasses
 
-    from ..solver import SolverOptions
+    from ..solver import SolverOptions, _TRIDIAG_TIERS
 
     if options is None:
         options = SolverOptions(linear_solver="tridiag", **option_overrides)
     elif option_overrides:
         options = dataclasses.replace(options, **option_overrides)
-    if options.linear_solver not in ("tridiag", "tridiag_cr"):
+    if options.linear_solver not in _TRIDIAG_TIERS:
         raise ValueError(
             "solve_batch_horizon_sharded requires a tridiag-family linear_solver"
         )

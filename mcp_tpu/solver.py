@@ -130,20 +130,17 @@ def fraction_to_the_boundary_linesearch_pair(
     axis: v, dv (2, m) → alphas (2,). One fused feasibility check instead of
     two dispatch chains — the two per-iteration searches (α_s over s, α_y
     over y) are ~25% of the lane-change iteration's wall-clock and entirely
-    latency-bound. Float semantics are identical: the same candidate·δ ≥
-    -τ·v elementwise test, the boolean all-reduce, and the first-feasible
-    argmax, just batched."""
-    import math
-
-    K = max(0, math.ceil(math.log(min_stepsize) / math.log(decay)))
-    while decay**K >= min_stepsize:
-        K += 1
-    candidates = jnp.asarray([decay**k for k in range(K + 1)], dtype=v.dtype)
-    lhs = candidates[:, None, None] * dv[None, :, :]  # (K+1, 2, m)
-    feasible = jnp.all(lhs >= -tau * v[None, :, :], axis=2)  # (K+1, 2)
-    first = jnp.argmax(feasible, axis=0)  # (2,)
-    any_feasible = jnp.any(feasible, axis=0)
-    return jnp.where(any_feasible, candidates[first], jnp.nan)
+    latency-bound. Float semantics are identical: vmap batches the very
+    same candidate·δ ≥ -τ·v test, boolean all-reduce, and first-feasible
+    argmax into one dispatch chain."""
+    return jax.vmap(
+        functools.partial(
+            fraction_to_the_boundary_linesearch,
+            tau=tau,
+            decay=decay,
+            min_stepsize=min_stepsize,
+        )
+    )(v, dv)
 
 
 def ip_solve(
