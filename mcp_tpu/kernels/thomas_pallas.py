@@ -384,6 +384,12 @@ def _pallas_block_thomas_packed(diag, lower_pad, upper_pad, rhs, batch_tile, int
             bytes_accessed=B * T * b * W * 4 * 2,
             transcendentals=B * T * b,
         ),
+        # Same scoped-VMEM headroom as the two-way variant: at B ≥ 512 the
+        # while-loop-resident whole-batch operands push the stack past the
+        # 16 MB Mosaic default (measured 30 MB at B=512, T=10, b=20).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
         interpret=interpret,
     )(packed)
     return x

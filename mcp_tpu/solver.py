@@ -88,6 +88,14 @@ class SolverOptions:
     # back-substitution + three matvecs).
     centering_floor: float = 0.01
     refinement_steps: int = 1
+    # Fused Pallas linesearch+update kernel (kernels/linesearch_pallas.py):
+    # one pallas_call replaces the per-iteration glue (pair
+    # fraction-to-the-boundary search, failure detection, iterate update,
+    # ‖F‖∞) — ~1 ms of pure dispatch latency at headline shapes. None =
+    # enabled exactly for the Pallas tridiag tiers (where the rest of the
+    # iteration is already kernel-fused); True/False force it. Disabled
+    # under `verbose` (the debug print needs the split lin/ls flags).
+    fused_linesearch: Optional[bool] = None
 
 
 def fraction_to_the_boundary_linesearch(
@@ -226,6 +234,20 @@ def _ip_solve_body(
     tol = options.tol
     dtype = x0.dtype
 
+    use_fused_ls = (
+        options.fused_linesearch
+        if options.fused_linesearch is not None
+        else options.linear_solver in ("tridiag_pallas", "tridiag_auto")
+    ) and not options.verbose
+    if use_fused_ls:
+        from .kernels.linesearch_pallas import make_linesearch_update
+
+        ls_update = make_linesearch_update(
+            tau=options.tau,
+            decay=options.decay,
+            min_stepsize=options.min_stepsize,
+        )
+
     def inner_body(carry):
         x, y, s, kkt_error, inner, failed, eps = carry
 
@@ -261,6 +283,18 @@ def _ip_solve_body(
             rC = (s * y - eps).astype(dtype)
             Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
             dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
+
+        if use_fused_ls:
+            # One kernel for linesearch + failure detection + update + ‖F‖∞
+            # (semantics identical to the unfused branch below; see
+            # kernels/linesearch_pallas.py).
+            x, s, y, F_norm, step_failed = ls_update(
+                x, dx.astype(dtype), s, ds.astype(dtype), y, dy.astype(dtype),
+                rG, rH, rC,
+            )
+            kkt_error = jnp.where(step_failed, kkt_error, F_norm)
+            inner = jnp.where(step_failed, inner, inner + 1)
+            return x, y, s, kkt_error, inner, step_failed, eps
 
         # Linear-solve failure detection: the reference checks the LinearSolve
         # retcode (src/solver.jl:84-88); dense LU signals failure via
@@ -300,9 +334,12 @@ def _ip_solve_body(
         # refreshing kkt_error / inner count (src/solver.jl:84-105).
         a_s = jnp.where(step_failed, 0.0, alpha_s).astype(dtype)
         a_y = jnp.where(step_failed, 0.0, alpha_y).astype(dtype)
-        x = x + a_s * dx
-        s = s + a_s * ds
-        y = y + a_y * dy
+        # safe(), not a bare α=0 gate: 0·NaN = NaN would poison the iterates
+        # on a linear failure, but the reference breaks BEFORE applying the
+        # update and retries from the last good point (src/solver.jl:84-105).
+        x = x + a_s * safe(dx)
+        s = s + a_s * safe(ds)
+        y = y + a_y * safe(dy)
 
         F_norm = jnp.maximum(
             jnp.max(jnp.abs(rG), initial=0.0),
@@ -516,9 +553,10 @@ def _mehrotra_solve_body(
             )
         a_s = jnp.where(step_failed, 0.0, a_s)
         a_y = jnp.where(step_failed, 0.0, a_y)
-        x = x + a_s * dx
-        s = s + a_s * ds
-        y = y + a_y * dy
+        # safe(): 0·NaN = NaN; keep the last good iterate on a failed step.
+        x = x + a_s * safe(dx)
+        s = s + a_s * safe(ds)
+        y = y + a_y * safe(dy)
 
         F_norm = jnp.maximum(feas, jnp.max(jnp.abs(comp), initial=0.0))
         kkt_error = jnp.where(step_failed, kkt_error, F_norm)

@@ -108,6 +108,51 @@ with jax.default_matmul_precision("highest"):
 
     timeit("fused pair frac-to-boundary ls", linesearch, jnp.float32(0))
 
+    # (c2) the whole inner-loop glue as ONE Pallas kernel
+    # (kernels/linesearch_pallas.py): pair linesearch + failure detection +
+    # iterate update + ‖F‖∞.
+    from mcp_tpu.kernels.linesearch_pallas import make_linesearch_update
+
+    ls_update = make_linesearch_update(tau=0.995, decay=0.5, min_stepsize=1e-4)
+    dx = jax.random.normal(jax.random.PRNGKey(4), (B, n), jnp.float32)
+
+    def fused_glue(i, c):
+        xo, so, yo, kkt, failed = jax.vmap(ls_update)(
+            x + c * 0, dx, s, ds, y, dy, rG, rH, rC
+        )
+        return c + jnp.sum(xo) * 1e-20 + jnp.sum(kkt) * 1e-20
+
+    timeit("fused ls+update+kkt Pallas kernel", fused_glue, jnp.float32(0))
+
+    # (c3) the unfused glue chain (linesearch + update + norms) for an
+    # apples-to-apples in-XLA comparison.
+    def unfused_glue(i, c):
+        def one(xx, dxx, ss, dss, yy, dyy, a, b_, cc):
+            lin_failed = ~(
+                jnp.all(jnp.isfinite(dxx))
+                & jnp.all(jnp.isfinite(dyy))
+                & jnp.all(jnp.isfinite(dss))
+            )
+            safe = lambda d: jnp.where(lin_failed, jnp.zeros_like(d), d)
+            alphas = fraction_to_the_boundary_linesearch_pair(
+                jnp.stack([ss, yy]),
+                jnp.stack([safe(dss), safe(dyy)]),
+                tau=0.995, decay=0.5, min_stepsize=1e-4,
+            )
+            step_failed = lin_failed | jnp.isnan(alphas[0]) | jnp.isnan(alphas[1])
+            a_s = jnp.where(step_failed, 0.0, alphas[0])
+            a_y = jnp.where(step_failed, 0.0, alphas[1])
+            kkt = jnp.maximum(
+                jnp.max(jnp.abs(a)),
+                jnp.maximum(jnp.max(jnp.abs(b_)), jnp.max(jnp.abs(cc))),
+            )
+            return xx + a_s * safe(dxx), ss + a_s * safe(dss), yy + a_y * safe(dyy), kkt
+
+        xo, so, yo, kkt = jax.vmap(one)(x + c * 0, dx, s, ds, y, dy, rG, rH, rC)
+        return c + jnp.sum(xo) * 1e-20 + jnp.sum(kkt) * 1e-20
+
+    timeit("unfused ls+update+kkt XLA chain", unfused_glue, jnp.float32(0))
+
     # (d) whole solve, for the per-iteration budget comparison
     from mcp_tpu.parallel.batch import solve_batch
 
