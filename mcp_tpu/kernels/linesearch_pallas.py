@@ -27,7 +27,6 @@ behavior src/solver.jl:84-107, 127-138):
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -38,14 +37,11 @@ Array = jax.Array
 
 
 def _candidates(decay: float, min_stepsize: float) -> tuple[float, ...]:
-    """The reference's backtracking grid: decay^k for k = 0..K where
-    decay^K is the first value below min_stepsize (that candidate is still
-    tested — the α < tol check runs after the violation test,
-    src/solver.jl:131-136). Mirrors solver.fraction_to_the_boundary_linesearch."""
-    K = max(0, math.ceil(math.log(min_stepsize) / math.log(decay)))
-    while decay**K >= min_stepsize:
-        K += 1
-    return tuple(decay**k for k in range(K + 1))
+    """The reference's backtracking grid — imported from the solver so the
+    fused and unfused linesearch paths share one definition."""
+    from ..solver import linesearch_candidates
+
+    return linesearch_candidates(decay, min_stepsize)
 
 
 def _finite_all(v: Array) -> Array:
@@ -137,6 +133,12 @@ def _ls_update_batched(x, dx, s, ds, y, dy, rg, rh, rc, *, tau, decay, min_steps
             jax.ShapeDtypeStruct((B, 1), dtype),
             jax.ShapeDtypeStruct((B, 2), dtype),
         ],
+        # 14 whole-batch (B, n)/(B, m) blocks stay VMEM-resident; the Mosaic
+        # scoped default of 16 MB is not enough at B ≥ 512 headline shapes
+        # (same headroom as thomas_pallas.py).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
         interpret=interpret,
     )(x, dx, s, ds, y, dy, rg, rh, rc)
     return xo, so, yo, kkt[:, 0], fail[:, 0] > 0.5

@@ -98,6 +98,21 @@ class SolverOptions:
     fused_linesearch: Optional[bool] = None
 
 
+def linesearch_candidates(decay: float, min_stepsize: float) -> tuple[float, ...]:
+    """The reference's backtracking grid, as a static tuple: decay^k for
+    k = 0..K where decay^K is the first value below min_stepsize. That last
+    candidate is still tested — the reference's `α < tol` check runs *after*
+    the violation test (src/solver.jl:131-136). Single source of truth for
+    both the unfused linesearch below and the fused Pallas kernel
+    (kernels/linesearch_pallas.py) so the two paths cannot diverge."""
+    import math
+
+    K = max(0, math.ceil(math.log(min_stepsize) / math.log(decay)))
+    while decay**K >= min_stepsize:  # guard rounding at the boundary
+        K += 1
+    return tuple(decay**k for k in range(K + 1))
+
+
 def fraction_to_the_boundary_linesearch(
     v: Array, dv: Array, *, tau: float, decay: float, min_stepsize: float
 ) -> Array:
@@ -106,22 +121,13 @@ def fraction_to_the_boundary_linesearch(
     min_stepsize does — exactly the reference's backtracking loop
     (src/solver.jl:127-138), evaluated loop-free.
 
-    The candidate set is static: the reference halves from 1 and fails once
-    α drops below min_stepsize, so candidates are decay^k for
-    k = 0..K where decay^K is the first value < min_stepsize. Feasibility of
+    The candidate set is static (see linesearch_candidates). Feasibility of
     all candidates is one broadcasted (K+1, m) check and the answer is the
     first feasible k — no data-dependent while_loop in the hot path (a
     serial ~14-iteration loop per Newton step costs real wall-clock on TPU).
     """
-    import math
-
-    # K = first k with decay^k < min_stepsize (the reference tests that
-    # candidate too: the `α < tol` check happens after the violation test).
-    K = max(0, math.ceil(math.log(min_stepsize) / math.log(decay)))
-    while decay**K >= min_stepsize:  # guard rounding at the boundary
-        K += 1
     candidates = jnp.asarray(
-        [decay**k for k in range(K + 1)], dtype=v.dtype
+        linesearch_candidates(decay, min_stepsize), dtype=v.dtype
     )  # (K+1,)
     # feasible[k] ⟺ all_i( candidates[k]·δ_i ≥ -τ·v_i )
     lhs = candidates[:, None] * dv[None, :]
@@ -234,6 +240,15 @@ def _ip_solve_body(
     tol = options.tol
     dtype = x0.dtype
 
+    if options.fused_linesearch and options.verbose:
+        import warnings
+
+        warnings.warn(
+            "fused_linesearch=True is incompatible with verbose=True (the "
+            "debug print needs the split linear/linesearch failure flags); "
+            "falling back to the unfused path.",
+            stacklevel=2,
+        )
     use_fused_ls = (
         options.fused_linesearch
         if options.fused_linesearch is not None
