@@ -13,9 +13,26 @@ from .metrics import (
     trajectory_similarity,
     trajectory_smoothness,
 )
-from .plots import loss_curves_plot, loss_landscape_plot, radar_plot, time_scaling_plot
+from .plots import (
+    RADAR_PRESETS,
+    RadarPreset,
+    collect_mode_metrics,
+    loss_curves_plot,
+    loss_landscape_plot,
+    paper_trajectory_grid,
+    radar_plot,
+    radar_plot_anchored,
+    radar_report,
+    time_scaling_plot,
+)
 
 __all__ = [
+    "RADAR_PRESETS",
+    "RadarPreset",
+    "collect_mode_metrics",
+    "paper_trajectory_grid",
+    "radar_plot_anchored",
+    "radar_report",
     "animate_result",
     "mask_loss_landscape",
     "n_scaling_experiment",

@@ -95,7 +95,9 @@ def mask_loss_landscape(
     each grid point — the reference's loss-landscape probe
     (examples/gradient_test.jl:7-55) — as one batched solve."""
     N = runner.N
-    g = jnp.linspace(0.0, 1.0, grid_points)
+    # f32 explicitly: under x64 (tests) linspace yields f64, and an
+    # f64-into-f32 scatter is a FutureWarning on its way to an error.
+    g = jnp.linspace(0.0, 1.0, grid_points, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(g, g)
     flat_x, flat_y = gx.reshape(-1), gy.reshape(-1)
     B = flat_x.shape[0]

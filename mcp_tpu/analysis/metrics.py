@@ -72,9 +72,12 @@ def rate(masks: Sequence[np.ndarray]) -> float:
 def analyze_result(result: dict, *, num_players: int, ref_result: dict | None = None) -> dict:
     """Compute the full metric set for one evaluation JSON
     (radar_plot_10.py:140-166)."""
+    # Skip absent players (real-data scenarios carry fewer than the nominal
+    # count; the reference's loaders do the same, paper_vis.py:17-43).
     trajectories = {
         pid: np.asarray(result[f"Player {pid} Trajectory"])
         for pid in range(1, num_players + 1)
+        if f"Player {pid} Trajectory" in result
     }
     masks = [np.asarray(m) for m in result["Player 1 Mask"]]
     metrics = {

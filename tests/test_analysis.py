@@ -7,13 +7,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcp_tpu.analysis import (
+    RADAR_PRESETS,
+    RadarPreset,
     analyze_result,
+    collect_mode_metrics,
     loss_curves_plot,
     loss_landscape_plot,
     mask_loss_landscape,
     mask_sum,
     n_scaling_experiment,
+    paper_trajectory_grid,
     radar_plot,
+    radar_plot_anchored,
+    radar_report,
     rate,
     safety,
     time_scaling_plot,
@@ -21,6 +27,7 @@ from mcp_tpu.analysis import (
     trajectory_similarity,
     trajectory_smoothness,
 )
+from mcp_tpu.analysis.plots import _legend_name, _radius
 
 
 class TestMetrics:
@@ -76,6 +83,123 @@ class TestPlots:
         )
         for name in ("radar.png", "time.png", "loss.png", "landscape.png"):
             assert os.path.getsize(tmp_path / name) > 1000
+
+
+def _make_eval_result(num_players=4, steps=12, shift=0.0, mask_on=True):
+    """Synthetic evaluation JSON in the reference's result-dict schema."""
+    t = np.arange(steps, dtype=float)
+    result = {}
+    for pid in range(1, num_players + 1):
+        traj = np.stack(
+            [t * 0.1 + shift, np.full(steps, float(pid))] + [np.zeros(steps)] * 2,
+            axis=1,
+        )
+        result[f"Player {pid} Trajectory"] = traj.tolist()
+        result[f"Player {pid} Control"] = np.zeros((steps, 2)).tolist()
+        result[f"Player {pid} Initial State"] = traj[0].tolist()
+        result[f"Player {pid} Goal"] = [1.0, float(pid)]
+    mask = [1.0] + [1.0 if mask_on else 0.0] * (num_players - 1)
+    result["Player 1 Mask"] = [mask] * steps
+    return result
+
+
+class TestPaperFigures:
+    """The anchored radar presets + trajectory grid (radar_plot_10.py:168-212,
+    paper_vis.py:60-236)."""
+
+    def test_radius_mapping_anchors(self):
+        ticks = {"min": 0.0, "mean": 2.0, "max": 10.0}
+        assert abs(_radius(0.0, ticks, invert=False)) < 1e-5
+        assert abs(_radius(2.0, ticks, invert=False) - 0.7) < 1e-5
+        assert abs(_radius(10.0, ticks, invert=False) - 1.0) < 1e-5
+        # Inverted: min maps to 1 (best), max to 0.
+        assert abs(_radius(0.0, ticks, invert=True) - 1.0) < 1e-5
+        assert abs(_radius(10.0, ticks, invert=True)) < 1e-5
+        assert abs(_radius(2.0, ticks, invert=True) - 0.7) < 1e-5
+
+    def test_legend_names(self):
+        assert _legend_name("Neural Network Rank [3]", keep_parameter=False) == "PSN-Full"
+        assert (
+            _legend_name("Neural Network Partial Threshold [0.5]", keep_parameter=True)
+            == "PSN-Partial [0.5]"
+        )
+        assert _legend_name("Control Barrier Function [3]", keep_parameter=False) == "CBF"
+        assert _legend_name("Nearest Neighbor [5]", keep_parameter=False) == "Distance"
+
+    def test_presets_cover_reference_datasets(self):
+        assert set(RADAR_PRESETS) == {"n10", "n4", "ped"}
+        # Spot-check the hand-tuned anchors against the reference values.
+        assert RADAR_PRESETS["n10"].tick_overrides["Length"] == (5.5, 6.5)
+        assert RADAR_PRESETS["n4"].tick_overrides["Smoothness"] == (0.02, 0.08)
+        assert RADAR_PRESETS["ped"].tick_overrides["Safety"] == (0.3, 1.5)
+        assert RADAR_PRESETS["ped"].file_prefix == "trajectories"
+        assert "ranking7" in RADAR_PRESETS["n10"].option_groups
+        assert "ranking2" in RADAR_PRESETS["n4"].option_groups
+
+    def test_radar_report_end_to_end(self, tmp_path):
+        result_dir = tmp_path / "eval"
+        result_dir.mkdir()
+        for sid in (0, 1):
+            for mode, param, on in (
+                ("All", 1, True),
+                ("Nearest Neighbor", 2, False),
+                ("Neural Network Rank", 2, False),
+            ):
+                path = result_dir / f"receding_horizon_trajectories_[{sid}]_[{mode}]_[{param}].json"
+                path.write_text(
+                    json.dumps(_make_eval_result(shift=0.1 * sid, mask_on=on))
+                )
+        preset = RadarPreset(
+            num_players=4,
+            file_prefix="receding_horizon_trajectories",
+            modes_with_params={
+                "All": (1,),
+                "Nearest Neighbor": (2,),
+                "Neural Network Rank": (2,),
+            },
+            option_groups={"ranking2": frozenset({
+                "All [1]", "Nearest Neighbor [2]", "Neural Network Rank [2]",
+            })},
+            tick_overrides={"Mask Sum": (1, 4), "Rate": (0, 1)},
+        )
+        metrics = collect_mode_metrics(
+            str(result_dir),
+            num_players=4,
+            modes_with_params=preset.modes_with_params,
+            file_prefix=preset.file_prefix,
+        )
+        assert set(metrics) == {"All [1]", "Nearest Neighbor [2]", "Neural Network Rank [2]"}
+        assert metrics["All [1]"]["Mask Sum"] == 4.0
+        assert metrics["Nearest Neighbor [2]"]["Mask Sum"] == 1.0
+
+        written = radar_report(str(result_dir), str(tmp_path / "figs"), preset=preset)
+        assert set(written) == {"ranking2"}
+        assert os.path.getsize(written["ranking2"]) > 1000
+
+        # Tick overrides beat the data range; the mean stays data-derived.
+        ticks = radar_plot_anchored(
+            metrics, str(tmp_path / "radar2.pdf"), tick_overrides={"Mask Sum": (1, 4)}
+        )
+        assert ticks["Mask Sum"]["min"] == 1.0 and ticks["Mask Sum"]["max"] == 4.0
+        assert 1.0 < ticks["Mask Sum"]["mean"] < 4.0
+
+    def test_paper_trajectory_grid(self, tmp_path):
+        results = [_make_eval_result(mask_on=True), _make_eval_result(mask_on=False)]
+        out = tmp_path / "grid.pdf"
+        paper_trajectory_grid(
+            results, ["All", "NN Rank"], str(out), step_indices=(3, 6, 9),
+            step_dt=0.1,
+        )
+        assert os.path.getsize(out) > 1000
+
+    def test_radar_report_on_demo_eval(self, tmp_path):
+        demo = os.path.join(os.path.dirname(__file__), "..", "demo", "eval")
+        if not os.path.isdir(demo):
+            import pytest
+
+            pytest.skip("demo/eval not present")
+        written = radar_report(demo, str(tmp_path), preset="n4")
+        assert written and all(os.path.getsize(p) > 1000 for p in written.values())
 
 
 class TestExperiments:
