@@ -32,6 +32,10 @@ Array = jax.Array
 class Scenario(NamedTuple):
     initial_states: np.ndarray  # (N, 4)
     goals: np.ndarray  # (N, 2)
+    # Per-scenario closed-loop length: real recordings have different
+    # durations (the reference's hardcoded time_dict, test_real_data.jl:135,
+    # 159). None = use the evaluation sweep's default num_sim_steps.
+    sim_steps: int | None = None
 
 
 class Example(NamedTuple):

@@ -131,28 +131,41 @@ def evaluate_modes(
     input_horizon: int = 10,
     scenario_offset: int = 0,
     verbose: bool = True,
+    file_prefix: str = "receding_horizon_trajectories",
 ) -> None:
     """Evaluation sweep over modes × parameters × scenarios, dumping one JSON
-    per combination (test_receding_horizon.jl:217-289 output naming)."""
+    per combination (test_receding_horizon.jl:217-289 output naming; real-data
+    sweeps name files trajectories_[...] — test_real_data.jl:203)."""
     os.makedirs(out_dir, exist_ok=True)
     for mode, params in modes_and_parameters.items():
         for mode_parameter in params:
             for k, scenario in enumerate(scenarios):
                 sid = scenario_offset + k
+                # Variable-length recordings: a scenario's own duration wins
+                # (the reference's per-scenario time_dict,
+                # test_real_data.jl:135,159).
+                steps = (
+                    scenario.sim_steps
+                    if getattr(scenario, "sim_steps", None)
+                    else num_sim_steps
+                )
                 if verbose:
-                    print(f"mode={mode} param={mode_parameter} scenario={sid}")
+                    print(
+                        f"mode={mode} param={mode_parameter} scenario={sid} "
+                        f"steps={steps}"
+                    )
                 result = evaluate_scenario(
                     runner,
                     scenario,
                     mode,
                     mode_parameter,
-                    num_sim_steps=num_sim_steps,
+                    num_sim_steps=steps,
                     model_params=model_params,
                     input_horizon=input_horizon,
                 )
                 path = os.path.join(
                     out_dir,
-                    f"receding_horizon_trajectories_[{sid}]_[{mode}]_[{mode_parameter}].json",
+                    f"{file_prefix}_[{sid}]_[{mode}]_[{mode_parameter}].json",
                 )
                 with open(path, "w") as f:
                     json.dump(result, f)

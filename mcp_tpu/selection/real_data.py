@@ -30,8 +30,11 @@ REAL_BOUNDS = {"xmin": 18.5, "xmax": 26.0, "ymin": 2.0, "ymax": 23.5}
 
 def load_scenario_csv(path: str, *, num_players: Optional[int] = None) -> Scenario:
     """Load one scenario CSV (columns: x, y, vx, vy, goal_x, goal_y; one row
-    per player)."""
+    per player; an optional ``sim_steps`` column carries the recording's
+    duration — the reference keeps these out-of-band in a hardcoded
+    time_dict, test_real_data.jl:135)."""
     rows = []
+    sim_steps = None
     with open(path) as f:
         for row in csv.DictReader(f):
             rows.append(
@@ -44,10 +47,79 @@ def load_scenario_csv(path: str, *, num_players: Optional[int] = None) -> Scenar
                     float(row["goal_y"]),
                 )
             )
+            if "sim_steps" in row and row["sim_steps"]:
+                sim_steps = int(row["sim_steps"])
     if num_players is not None:
         rows = rows[:num_players]
     arr = np.asarray(rows)
-    return Scenario(initial_states=arr[:, :4], goals=arr[:, 4:6])
+    return Scenario(
+        initial_states=arr[:, :4], goals=arr[:, 4:6], sim_steps=sim_steps
+    )
+
+
+def convert_recording(
+    positions: np.ndarray, *, dt: float = 0.1, num_players: Optional[int] = None
+) -> Scenario:
+    """Convert one raw pedestrian recording — positions (steps, N, 2) per
+    frame per agent — into a scenario: initial state = first-frame position
+    + finite-difference velocity, goal = last-frame position, sim_steps =
+    recording length (the reference derives its scenario CSVs + time_dict
+    from such recordings the same way; test_real_data.jl:135-145)."""
+    p = np.asarray(positions, dtype=np.float64)
+    if p.ndim != 3 or p.shape[2] != 2 or p.shape[0] < 2:
+        raise ValueError("positions must be (steps >= 2, N, 2)")
+    if num_players is not None:
+        p = p[:, :num_players]
+    v0 = (p[1] - p[0]) / dt
+    initial_states = np.concatenate([p[0], v0], axis=1)  # (N, 4)
+    return Scenario(
+        initial_states=initial_states, goals=p[-1], sim_steps=int(p.shape[0])
+    )
+
+
+def convert_raw_csv(
+    path: str,
+    out_path: Optional[str] = None,
+    *,
+    dt: float = 0.1,
+    num_players: Optional[int] = None,
+) -> Scenario:
+    """Convert a raw trajectory CSV with columns ``frame, agent_id, x, y``
+    (the common pedestrian-dataset layout, e.g. ETH/UCY exports) into the
+    scenario schema; agents are kept only if present in every frame. When
+    ``out_path`` is given, the converted scenario CSV (with its sim_steps
+    column) is written there."""
+    frames: dict[int, dict[int, tuple[float, float]]] = {}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            frame = int(float(row["frame"]))
+            agent = int(float(row["agent_id"]))
+            frames.setdefault(frame, {})[agent] = (float(row["x"]), float(row["y"]))
+    frame_ids = sorted(frames)
+    if len(frame_ids) < 2:
+        raise ValueError(f"{path}: need at least 2 frames")
+    agents = sorted(set.intersection(*(set(frames[f]) for f in frame_ids)))
+    if not agents:
+        raise ValueError(f"{path}: no agent is present in every frame")
+    positions = np.asarray(
+        [[frames[f][a] for a in agents] for f in frame_ids]
+    )  # (steps, N, 2)
+    scenario = convert_recording(positions, dt=dt, num_players=num_players)
+    if out_path is not None:
+        save_scenario_csv(scenario, out_path)
+    return scenario
+
+
+def save_scenario_csv(scenario: Scenario, path: str) -> None:
+    """Write a scenario in the reference CSV schema (+ sim_steps)."""
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["x", "y", "vx", "vy", "goal_x", "goal_y", "sim_steps"])
+        for state, goal in zip(scenario.initial_states, scenario.goals):
+            writer.writerow(
+                [f"{v:.6g}" for v in (*state, *goal)]
+                + [scenario.sim_steps if scenario.sim_steps else ""]
+            )
 
 
 def load_scenario_dir(directory: str, *, num_players: Optional[int] = None) -> list[Scenario]:
@@ -82,7 +154,10 @@ def evaluate_real_scenarios(
     verbose: bool = True,
 ) -> None:
     """Evaluation sweep on real scenarios with the real-game dynamics/bounds
-    (test_real_data.jl:135-209)."""
+    (test_real_data.jl:135-209). Scenarios carrying their own ``sim_steps``
+    (variable-length recordings) are trimmed to that length; outputs are
+    named trajectories_[sid]_[mode]_[param].json as in the reference
+    (test_real_data.jl:203)."""
     runner = make_real_runner(N=N, horizon=horizon)
     evaluate_modes(
         runner,
@@ -93,4 +168,5 @@ def evaluate_real_scenarios(
         model_params=model_params,
         input_horizon=input_horizon,
         verbose=verbose,
+        file_prefix="trajectories",
     )
