@@ -203,3 +203,61 @@ class TestClosedLoopEvaluation:
         assert len(result["Player 1 Trajectory"]) == 4  # init + 3 steps
         assert len(result["Player 1 Mask"]) == 3
         assert all(s == 0 for s in result["Statuses"])
+
+    def test_batched_matches_serial(self, runner):
+        """The batched sweep (one solve per sim step over all scenarios)
+        reproduces the scenario-serial rollouts, including variable-length
+        trimming and per-scenario warm-start tracking."""
+        from mcp_tpu.selection.evaluate import evaluate_scenarios_batched
+
+        scenarios = generate_scenarios(
+            num_scenarios=3, num_players=N, arena_half_width=3.0, seed=2
+        )
+        # Variable lengths: scenario 1 stops after 2 steps.
+        scenarios = [
+            scenarios[0],
+            scenarios[1]._replace(sim_steps=2),
+            scenarios[2],
+        ]
+        batched = evaluate_scenarios_batched(
+            runner, scenarios, "Distance Threshold", 2.0,
+            num_sim_steps=4, input_horizon=2,
+        )
+        for scenario, res in zip(scenarios, batched):
+            steps = scenario.sim_steps or 4
+            assert len(res["Player 1 Trajectory"]) == steps + 1
+            assert len(res["Player 1 Mask"]) == steps
+            serial = evaluate_scenario(
+                runner, scenario, "Distance Threshold", 2.0,
+                num_sim_steps=steps, input_horizon=2,
+            )
+            assert res["Statuses"] == serial["Statuses"]
+            assert res["Player 1 Mask"] == serial["Player 1 Mask"]
+            np.testing.assert_allclose(
+                np.asarray(res["Player 1 Trajectory"]),
+                np.asarray(serial["Player 1 Trajectory"]),
+                atol=2e-4,
+            )
+
+    def test_evaluate_modes_batched_writes_files(self, runner, tmp_path):
+        from mcp_tpu.selection.evaluate import evaluate_modes
+
+        scenarios = generate_scenarios(
+            num_scenarios=2, num_players=N, arena_half_width=3.0, seed=3
+        )
+        evaluate_modes(
+            runner,
+            scenarios,
+            {"All": [1]},
+            str(tmp_path),
+            num_sim_steps=2,
+            input_horizon=2,
+            verbose=False,
+        )
+        import json
+
+        for sid in (0, 1):
+            path = tmp_path / f"receding_horizon_trajectories_[{sid}]_[All]_[1].json"
+            assert path.exists()
+            result = json.loads(path.read_text())
+            assert len(result["Player 1 Trajectory"]) == 3
