@@ -107,6 +107,9 @@ def main() -> None:
             "median_outer_iters": out_sweep["median_outer_iters_per_step"][-1],
             "best_batch_time_s": 0.0,
             "max_kkt_error_solved": 0.0,
+            "true_kkt_max": 0.0,
+            "true_kkt_median": 0.0,
+            "frac_true_kkt_at_tol": 0.0,
         }
         metric_name = "warm_lane_change_mcp_solves_per_sec"
     else:
@@ -130,6 +133,12 @@ def main() -> None:
         "median_outer_iters": stats["median_outer_iters"],
         "best_batch_time_s": round(stats["best_batch_time_s"], 4),
         "max_kkt_error_solved": float(f"{stats['max_kkt_error_solved']:.3g}"),
+        # Recomputed ‖F‖∞ at the final iterates — the honest convergence
+        # numbers (the solver's status can report :solved on the reference's
+        # ϵ ≤ tol exit with kkt above tol; see harness.true_kkt_errors).
+        "true_kkt_max": float(f"{stats['true_kkt_max']:.3g}"),
+        "true_kkt_median": float(f"{stats['true_kkt_median']:.3g}"),
+        "frac_true_kkt_at_tol": round(stats["frac_true_kkt_at_tol"], 4),
         "tol": args.tol,
         "device": str(jax.devices()[0]),
     }

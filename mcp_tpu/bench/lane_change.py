@@ -8,6 +8,7 @@ random lane preferences (:62-87).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -28,6 +29,16 @@ class LaneChangeBenchmark(NamedTuple):
 
 
 def generate_test_problem(*, horizon: int = 10) -> LaneChangeBenchmark:
+    """Build (once per horizon) the benchmark problem. Cached: the build
+    costs ~20 s of tracing + banded-structure validation, every field of the
+    result is immutable, and reusing the instance lets the solver's jit
+    cache hit across callers — rebuilding it 16x was a third of the test
+    suite's wall-clock."""
+    return _build_test_problem(horizon)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_test_problem(horizon: int) -> LaneChangeBenchmark:
     game, pg, road = build_lane_change_game(horizon=horizon)
     return LaneChangeBenchmark(
         game=game,

@@ -350,6 +350,44 @@ def banded_newton_step_compressed(
     return dx, dy, ds
 
 
+def banded_jac_mv(
+    diag, lower, upper, Gy_blocks, Hx_blocks,
+    y, s, dx, dy, ds, structure: TimeStructure,
+):
+    """True (unregularized) Jacobian–vector product in banded form:
+    (Gx·dx + Gy·dy, Hx·dx − ds, s∘dy + y∘ds), for iterative refinement of
+    banded Mehrotra solves (pairs with gh_banded's outputs — the same
+    bands the factorization consumed, so no dense matrix is formed).
+    Inputs/outputs in the ORIGINAL (unpermuted) vector layout."""
+    T, b = structure.num_blocks, structure.block_size
+    mt = structure.rows_per_block
+    perm = jnp.asarray(structure.permutation)
+    rperm = jnp.asarray(structure.row_permutation)
+
+    dxb = dx[perm].reshape(T, b)
+    dyb = dy[rperm].reshape(T, mt)
+    zero_row = jnp.zeros((1, b), dx.dtype)
+    Gx_dx = (
+        jnp.einsum("tbc,tc->tb", diag, dxb)
+        # lower[t] couples row t+1 to column t; upper[t] row t to column t+1.
+        + jnp.concatenate(
+            [zero_row, jnp.einsum("tbc,tc->tb", lower, dxb[:-1])]
+        )
+        + jnp.concatenate(
+            [jnp.einsum("tbc,tc->tb", upper, dxb[1:]), zero_row]
+        )
+    )
+    eG_b = Gx_dx + jnp.einsum("tbm,tm->tb", Gy_blocks, dyb)
+    Hx_dx = jnp.einsum("tmc,tc->tm", Hx_blocks, dxb)
+
+    inv = _inverse_permutation(structure.permutation)
+    rinv = _inverse_permutation(structure.row_permutation)
+    eG = eG_b.reshape(-1)[inv]
+    eH = Hx_dx.reshape(-1)[rinv] - ds
+    eC = s * dy + y * ds
+    return eG, eH, eC
+
+
 def banded_newton_step(
     Gx: Array,
     Gy: Array,

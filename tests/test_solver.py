@@ -135,6 +135,78 @@ class TestFloat32:
         np.testing.assert_array_less(np.abs(G(sol.x, sol.y, THETA)), 2e-2)
 
 
+class TestPolish:
+    """SolverOptions(polish=True): the annealed loop's ϵ ≤ tol exit can
+    report :solved with the TRUE residual above tol (src/solver.jl:67-119);
+    polish runs extra Newton steps until ‖(g, h−s, s∘y)‖∞ ≤ tol and makes
+    the status honest."""
+
+    def _true_kkt(self, mcp, sol, theta):
+        g, h = mcp.gh(sol.x, sol.y, theta)
+        return float(
+            jnp.maximum(
+                jnp.max(jnp.abs(g)),
+                jnp.maximum(jnp.max(jnp.abs(h - sol.s)), jnp.max(jnp.abs(sol.s * sol.y))),
+            )
+        )
+
+    def test_polish_certifies_tight_tolerance(self):
+        mcp = make_gh_mcp()
+        tol = 1e-10
+        sol = mcp_tpu.solve(
+            mcp, THETA, options=mcp_tpu.SolverOptions(tol=tol, polish=True)
+        )
+        assert int(sol.status) == SOLVED
+        assert self._true_kkt(mcp, sol, THETA) <= tol
+        # kkt_error now reports the true residual, not the stale metric.
+        assert float(sol.kkt_error) <= tol
+
+    def test_unpolished_can_miss_true_tolerance(self):
+        """The contrast case documenting WHY polish exists: the reference's
+        own benchmark-protocol QPs (100 primals + 100 inequalities,
+        path.jl:5-17) at its tol 1e-6, where the plain loop exits :solved
+        with the true residual above tol and polish certifies it."""
+        from mcp_tpu.bench import qp
+        from mcp_tpu.bench.harness import true_kkt_errors
+        from mcp_tpu.parallel.batch import solve_batch
+
+        problem = qp.generate_test_problem()
+        thetas = qp.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, dtype=jnp.float64
+        )
+        tol = 1e-6
+        plain = solve_batch(
+            problem.mcp, thetas, options=mcp_tpu.SolverOptions(tol=tol)
+        )
+        polished = solve_batch(
+            problem.mcp, thetas, options=mcp_tpu.SolverOptions(tol=tol, polish=True)
+        )
+        tk_plain = np.asarray(true_kkt_errors(problem.mcp, plain, thetas))
+        tk_pol = np.asarray(true_kkt_errors(problem.mcp, polished, thetas))
+        assert (np.asarray(plain.status) == SOLVED).all()
+        assert (np.asarray(polished.status) == SOLVED).all()
+        assert (tk_pol <= tol).all()
+        # The plain loop genuinely misses it (otherwise this test is vacuous).
+        assert tk_plain.max() > tol
+
+    def test_polish_fails_honestly_below_f32_floor(self):
+        """f32 floors around 2e-6 true residual on the 100-dim QPs
+        (cancellation in O(1)-magnitude g rows); with polish the status
+        reports that instead of claiming :solved."""
+        from mcp_tpu.bench import qp
+        from mcp_tpu.parallel.batch import solve_batch
+
+        problem = qp.generate_test_problem()
+        thetas = qp.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, dtype=jnp.float32
+        )
+        sol = solve_batch(
+            problem.mcp, thetas,
+            options=mcp_tpu.SolverOptions(tol=1e-8, polish=True),
+        )
+        assert (np.asarray(sol.status) != SOLVED).all()
+
+
 class TestLinesearchPair:
     def test_pair_matches_single(self):
         """The fused pair fraction-to-the-boundary search returns bitwise
