@@ -54,6 +54,12 @@ def main() -> None:
     # dispatches that the fused kernel runs in one VMEM-resident
     # pallas_call.
     parser.add_argument("--tier", default="tridiag_pallas")
+    # Terminal polish: certify the TRUE residual ≤ tol (SolverOptions.polish).
+    parser.add_argument("--polish", action="store_true")
+    # Force the fused Pallas linesearch kernel on/off (default: tier-based).
+    parser.add_argument(
+        "--fused-linesearch", default="default", choices=["default", "on", "off"]
+    )
     args = parser.parse_args()
 
     import jax
@@ -84,19 +90,27 @@ def main() -> None:
         thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
         metric_name = "lane_change_mcp_solves_per_sec"
 
+    from mcp_tpu.solver import SolverOptions
+
+    option_kwargs = dict(
+        tol=args.tol,
+        linear_solver=args.tier,
+        algorithm=args.algorithm,
+        polish=args.polish,
+    )
+    if args.fused_linesearch != "default":
+        option_kwargs["fused_linesearch"] = args.fused_linesearch == "on"
+    options = SolverOptions(**option_kwargs)
+
     if args.suite == "warm":
         # K sweep steps with a small θ drift per step (the receding-horizon
         # pattern); warm slacks so Mehrotra runs in its superlinear regime.
-        from mcp_tpu.solver import SolverOptions
-
         K = 4 if args.quick else 10
         sweep = jnp.stack([thetas + 0.005 * k for k in range(K)])
         out_sweep = harness.benchmark_warm_sweep(
             mcp,
             sweep,
-            options=SolverOptions(
-                tol=args.tol, linear_solver=args.tier, algorithm=args.algorithm
-            ),
+            options=options,
             cold_options=SolverOptions(tol=args.tol, linear_solver=args.tier),
             warm_slacks=True,
         )
@@ -114,12 +128,7 @@ def main() -> None:
         metric_name = "warm_lane_change_mcp_solves_per_sec"
     else:
         stats = harness.benchmark_batched(
-            mcp,
-            thetas,
-            repeats=args.repeats,
-            tol=args.tol,
-            linear_solver=args.tier,
-            algorithm=args.algorithm,
+            mcp, thetas, repeats=args.repeats, options=options
         )
 
     baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate

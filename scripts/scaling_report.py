@@ -83,9 +83,10 @@ def main():
 
         from mcp_tpu.bench.harness import benchmark_batched
 
-        B = args.batch_per_device * 4  # saturating batch for one chip
+        B = 256  # the bench.py headline batch (measured optimum)
         thetas = lc.generate_parameter_batch(key, B, bench, dtype=jnp.float32)
-        stats = benchmark_batched(mcp, thetas, linear_solver="schur_pallas")
+        # The bench.py headline configuration: fused Pallas block-Thomas tier.
+        stats = benchmark_batched(mcp, thetas, linear_solver="tridiag_pallas")
         rows.append(
             {
                 "devices": 1,
@@ -93,7 +94,8 @@ def main():
                 "solves_per_sec": stats["solves_per_sec"],
                 "median_outer_iters": stats["median_outer_iters"],
                 "success_rate": stats["success_rate"],
-                "topology": "1 chip (real TPU)",
+                "true_kkt_max": stats["true_kkt_max"],
+                "topology": "1 chip (real TPU v5e)",
             }
         )
     if args.hosts:
@@ -102,8 +104,11 @@ def main():
             mesh = make_batch_mesh(all_devices[:ndev])
             B = args.batch_per_device * ndev
             thetas = lc.generate_parameter_batch(key, B, bench, dtype=jnp.float32)
-            row = bench_sharded(mcp, thetas, mesh, linear_solver="schur")
-            row["topology"] = f"{label} ({ndev} virtual devices)"
+            row = bench_sharded(mcp, thetas, mesh, linear_solver="tridiag")
+            row["topology"] = (
+                f"{label} ({ndev} virtual CPU devices — correctness/parallel-"
+                "efficiency of the sharded program only, NOT TPU throughput)"
+            )
             rows.append(row)
 
     report = {"rows": rows}
