@@ -68,7 +68,7 @@ def _qr_solve_kernel(a_ref, b_ref, out_ref, *, n: int):
             u[:, None, :],
             A,
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=dtype,
+            preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
         )[:, 0, :]  # (TB, n)
         A = A - (beta[:, :, None] * u[:, :, None]) * w[:, None, :]
         ub = jnp.sum(u * b, axis=1, keepdims=True)
@@ -144,14 +144,14 @@ def _wy_qr_solve_kernel(a_ref, b_ref, out_ref, *, n: int, nb: int):
         u = v - alpha * pivot
         uu = jnp.sum(u * u, axis=1, keepdims=True)
         beta = jnp.where(uu > eps, 2.0 / (uu + eps), 0.0)
-        w = lax.dot_general(u[:, None, :], P, dn, preferred_element_type=dtype)[:, 0, :]
+        w = lax.dot_general(u[:, None, :], P, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, 0, :]
         P = P - (beta[:, :, None] * u[:, :, None]) * w[:, None, :]
         # larft column append: T[:, :k, k] = −β·T·(Uᵀu); T[k, k] = β.
         # U columns ≥ k are still zero, so Uᵀu vanishes there on its own.
-        utu = lax.dot_general(u[:, None, :], U, dn, preferred_element_type=dtype)[:, 0, :]
+        utu = lax.dot_general(u[:, None, :], U, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, 0, :]
         z = -beta * lax.dot_general(
             T, utu[:, :, None], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=dtype,
+            preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
         )[:, :, 0]  # (TB, nb)
         col_k = (lane_nb == k).astype(dtype)  # (1, 1, nb)
         row_k = (rows_nb == k).astype(dtype)  # (1, nb, 1)
@@ -169,14 +169,14 @@ def _wy_qr_solve_kernel(a_ref, b_ref, out_ref, *, n: int, nb: int):
         # are already upper-triangular and U has no support on their nonzero
         # rows, so updating the full tile is a (numerical) no-op there; the
         # panel columns themselves come out as the factored panel.
-        Z = lax.dot_general(U, A, (((1,), (1,)), ((0,), (0,))), preferred_element_type=dtype)
-        W = lax.dot_general(T, Z, (((1,), (1,)), ((0,), (0,))), preferred_element_type=dtype)
-        A = A - lax.dot_general(U, W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype)
-        zb = lax.dot_general(b[:, None, :], U, dn, preferred_element_type=dtype)[:, 0, :]
+        Z = lax.dot_general(U, A, (((1,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        W = lax.dot_general(T, Z, (((1,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        A = A - lax.dot_general(U, W, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        zb = lax.dot_general(b[:, None, :], U, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, 0, :]
         wb = lax.dot_general(T, zb[:, :, None], (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=dtype)[:, :, 0]
+                             preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, :, 0]
         b = b - lax.dot_general(U, wb[:, :, None], (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=dtype)[:, :, 0]
+                                preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, :, 0]
 
     # Back substitution (same scheme as the unblocked kernel: R parked in the
     # input ref's VMEM working copy, rows read via cheap sublane ds).
@@ -230,7 +230,7 @@ def _qr_solve_aug_kernel(a_ref, out_ref, *, n: int):
         u = v + (sign * norm) * pivot
         # u·u = 2‖v‖(‖v‖+|v_k|) exactly, so no third reduction is needed.
         beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)
-        w = lax.dot_general(u[:, None, :], A, dn, preferred_element_type=dtype)[:, 0, :]
+        w = lax.dot_general(u[:, None, :], A, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, 0, :]
         a_ref[...] = A - (beta * u)[:, :, None] * w[:, None, :]
         return 0
 

@@ -53,7 +53,7 @@ def _qr_solve_aug(M, *, b: int):
         sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
         u = v + (sign * norm) * pivot
         beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)
-        w = lax.dot_general(u[:, None, :], M, dnb, preferred_element_type=dtype)[:, 0, :]
+        w = lax.dot_general(u[:, None, :], M, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, 0, :]
         return M - (beta * u)[:, :, None] * w[:, None, :]
 
     M = lax.fori_loop(0, b, reflect, M)
@@ -66,7 +66,7 @@ def _qr_solve_aug(M, *, b: int):
         row_head = row_k[:, :b]
         rkk = jnp.sum(row_head * (rows == k).astype(dtype), axis=1, keepdims=True)
         dot = lax.dot_general(
-            row_head[:, None, :], X, dnb, preferred_element_type=dtype
+            row_head[:, None, :], X, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST
         )[:, 0, :]  # (TB, nc-b); X rows ≤ k are still zero
         xk = (row_k[:, b:] - dot) / rkk
         return X + xk[:, None, :] * (rows[:, :, None] == k).astype(dtype)
@@ -102,10 +102,10 @@ def _thomas_kernel(d_ref, l_ref, u_ref, r_ref, x_ref, cd_ref, *, T: int, b: int)
         # lowers to an unsupported Mosaic gather.
         C_prev, d_prev = Cd_prev[:, :, :b], Cd_prev[:, :, b:]
         denom = D - lax.dot_general(
-            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype
+            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST
         )
         Ld = lax.dot_general(L, d_prev, (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=dtype)
+                             preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
         M = jnp.concatenate([denom, U, (r[:, :, None] - Ld)], axis=2)
         cd_ref[:, pl.ds(t, 1)] = qr_solve_aug(M)[:, None]
         return 0
@@ -119,7 +119,7 @@ def _thomas_kernel(d_ref, l_ref, u_ref, r_ref, x_ref, cd_ref, *, T: int, b: int)
             Cd[:, :, b:]
             - lax.dot_general(
                 Cd[:, :, :b], x_next[:, :, None], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=dtype,
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
             )
         )[:, :, 0]
         x_ref[:, pl.ds(t, 1)] = x_t[:, None]
@@ -155,10 +155,10 @@ def _thomas_kernel_packed(band_ref, out_ref, x_ref, *, T: int, b: int):
         C_prev = prev[:, :, :b]
         d_prev = prev[:, :, 3 * b :]
         denom = D - lax.dot_general(
-            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype
+            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST
         )
         Ld = lax.dot_general(L, d_prev, (((2,), (1,)), ((0,), (0,))),
-                             preferred_element_type=dtype)
+                             preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
         M = jnp.concatenate([denom, U, r - Ld], axis=2)
         Cd = qr_solve_aug(M)  # (TB, b, b+1)
         # Full-width aligned store: [C | L | U | d] over [D | L | U | r].
@@ -175,7 +175,7 @@ def _thomas_kernel_packed(band_ref, out_ref, x_ref, *, T: int, b: int):
             blk[:, :, 3 * b :]
             - lax.dot_general(
                 blk[:, :, :b], x_next[:, :, None], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=dtype,
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
             )
         )[:, :, 0]
         x_ref[:, pl.ds(t, 1)] = x_t[:, None]
@@ -223,8 +223,8 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int):
         )
         C_prev = prev[:, :, :b]
         d_prev = prev[:, :, 3 * b :]
-        denom = D - lax.dot_general(L, C_prev, dnb, preferred_element_type=dtype)
-        Ld = lax.dot_general(L, d_prev, dnb, preferred_element_type=dtype)
+        denom = D - lax.dot_general(L, C_prev, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        Ld = lax.dot_general(L, d_prev, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
         M = jnp.concatenate([denom, U, r - Ld], axis=2)
         Cd = _qr_solve_aug(M, b=b)  # (2TB, b, b+1)
         blk_new = jnp.concatenate([Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2)
@@ -242,14 +242,14 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int):
         lax.broadcasted_iota(jnp.int32, (1, b, b), 1)
         == lax.broadcasted_iota(jnp.int32, (1, b, b), 2)
     ).astype(dtype)
-    CE = lax.dot_general(C_L, E_R, dnb, preferred_element_type=dtype)
-    Ce = lax.dot_general(C_L, e_R, dnb, preferred_element_type=dtype)
+    CE = lax.dot_general(C_L, E_R, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+    Ce = lax.dot_general(C_L, e_R, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
     Mj = jnp.concatenate([eye - CE, d_L - Ce], axis=2)  # (TB, b, b+1)
     x_ml1 = _qr_solve_aug(Mj, b=b)[:, :, 0]  # x_{ml−1}  (TB, b)
     x_ref[:, pl.ds(ml - 1, 1)] = x_ml1[:, None]
     x_ml = (
         e_R - lax.dot_general(E_R, x_ml1[:, :, None], dnb,
-                              preferred_element_type=dtype)
+                              preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
     )[:, :, 0]
     x_ref[:, pl.ds(ml, 1)] = x_ml[:, None]
 
@@ -266,7 +266,7 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int):
                 Cd[:, :, :b],
                 x_prev.reshape(2 * TB, b)[:, :, None],
                 dnb,
-                preferred_element_type=dtype,
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
             )
         )[:, :, 0].reshape(TB, 2, b)
         x_ref[:, pl.ds(pos, 1)] = x2[:, 0][:, None]
@@ -285,7 +285,7 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int):
             blk0[:, :, 3 * b :]
             - lax.dot_general(
                 blk0[:, :, :b], x_last[:, 0][:, :, None], dnb,
-                preferred_element_type=dtype,
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
             )
         )[:, :, 0]
         x_ref[:, pl.ds(0, 1)] = x0[:, None]

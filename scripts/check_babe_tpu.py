@@ -45,15 +45,17 @@ def residual(x):
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def run(two_way):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def run(two_way, highest):
+    if highest:
+        with jax.default_matmul_precision("highest"):
+            return pallas_block_thomas(
+                diag, lower, upper, rhs, batch_tile=args.tile, two_way=two_way
+            )
     return pallas_block_thomas(
         diag, lower, upper, rhs, batch_tile=args.tile, two_way=two_way
     )
 
-
-x_one = jax.block_until_ready(run(False))
-x_two = jax.block_until_ready(run(True))
 
 # f64 host reference via numpy
 dn = np.asarray(diag, np.float64)
@@ -69,10 +71,13 @@ for t in range(T):
         A[:, t * b : (t + 1) * b, (t + 1) * b : (t + 2) * b] = un[:, t]
 x_ref = np.linalg.solve(A, rn.reshape(B, -1, 1))[..., 0].reshape(B, T, b)
 
-print(f"one-way: resid {float(residual(x_one)):.3e}  err vs f64 {np.max(np.abs(np.asarray(x_one) - x_ref)):.3e}")
-print(f"two-way: resid {float(residual(x_two)):.3e}  err vs f64 {np.max(np.abs(np.asarray(x_two) - x_ref)):.3e}")
-print(f"one vs two: {float(jnp.max(jnp.abs(x_one - x_two))):.3e}")
-# Per-time-block error profile for the two-way sweep (junction bugs show as
-# a spike at t = ml-1, ml).
-err_t = np.max(np.abs(np.asarray(x_two) - x_ref), axis=(0, 2))
-print("two-way err by t:", " ".join(f"{e:.1e}" for e in err_t))
+for highest in (False, True):
+    print(f"--- matmul precision {'highest' if highest else 'default'} ---")
+    x_one = jax.block_until_ready(run(False, highest))
+    x_two = jax.block_until_ready(run(True, highest))
+
+    print(f"one-way: resid {float(residual(x_one)):.3e}  err vs f64 {np.max(np.abs(np.asarray(x_one) - x_ref)):.3e}")
+    print(f"two-way: resid {float(residual(x_two)):.3e}  err vs f64 {np.max(np.abs(np.asarray(x_two) - x_ref)):.3e}")
+    print(f"one vs two: {float(jnp.max(jnp.abs(x_one - x_two))):.3e}")
+    err_t = np.max(np.abs(np.asarray(x_two) - x_ref), axis=(0, 2))
+    print("two-way err by t:", " ".join(f"{e:.1e}" for e in err_t))
