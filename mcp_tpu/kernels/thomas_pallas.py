@@ -291,6 +291,175 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int):
         x_ref[:, pl.ds(0, 1)] = x0[:, None]
 
 
+def _eye_like(TB: int, b: int, dtype):
+    """Identity blocks via iota (no host constant materialization)."""
+    return (
+        lax.broadcasted_iota(jnp.int32, (TB, 1, b, b), 2)
+        == lax.broadcasted_iota(jnp.int32, (TB, 1, b, b), 3)
+    ).astype(dtype)
+
+
+def _cr_solve(D, L, U, r, *, b: int):
+    """In-kernel block cyclic reduction (trace-time recursion over levels).
+
+    D/L/U (TB, T, b, b), r (TB, T, b, 1); L[t] couples row t to t−1
+    (L[0] = 0), U[t] couples row t to t+1 (U[T−1] = 0). Returns x
+    (TB, T, b, 1).
+
+    Each level eliminates the odd-position blocks with ONE batched QR over
+    (TB·T/2) systems — the time axis folds into the batch axis, so serial
+    depth is ~log₂T batched factorizations instead of the Thomas sweep's T
+    (the BABE sweep's T/2). At the flagship T=30 that is ~5 levels; the
+    per-level ops are also 15x fatter, which matters on the VPU at small
+    batch. ~2.3x the flops of Thomas — a good trade where the kernel is
+    serial-latency-bound (measured: everywhere we run it).
+
+    Algebra identical to block_tridiag.block_cyclic_reduction_solve; Mosaic
+    constraints shape the implementation: pair-reshape + leading-dim slices
+    instead of strided gathers, lane-aligned concats only.
+    """
+    dtype = D.dtype
+    TB, T = D.shape[0], D.shape[1]
+    if T == 1:
+        M = jnp.concatenate([D[:, 0], r[:, 0]], axis=2)  # (TB, b, b+1)
+        return _qr_solve_aug(M, b=b)[:, None]
+    if T % 2 == 1:
+        # Pad with a decoupled identity block (x_pad = 0); U[T−1] is zero so
+        # the real system never sees it. Recurse on the even-length system
+        # and strip the pad from the result.
+        zero_blk = jnp.zeros((TB, 1, b, b), dtype)
+        D = jnp.concatenate([D, _eye_like(TB, b, dtype)], axis=1)
+        L = jnp.concatenate([L, zero_blk], axis=1)
+        U = jnp.concatenate([U, zero_blk], axis=1)
+        r = jnp.concatenate([r, jnp.zeros((TB, 1, b, 1), dtype)], axis=1)
+        return _cr_solve(D, L, U, r, b=b)[:, :T]
+    H = T // 2
+
+    def pairs(A):
+        # (TB, T, b, c) -> even (TB, H, b, c), odd (TB, H, b, c); leading-dim
+        # reshape + pure index, no strided gather.
+        Ap = A.reshape(TB, H, 2, *A.shape[2:])
+        return Ap[:, :, 0], Ap[:, :, 1]
+
+    De, Do = pairs(D)
+    Le, Lo = pairs(L)
+    Ue, Uo = pairs(U)
+    re, ro = pairs(r)
+
+    # Solve D_odd [L_odd | U_odd | r_odd] with one batched QR over TB·H.
+    M = jnp.concatenate([Do, Lo, Uo, ro], axis=3).reshape(TB * H, b, 3 * b + 1)
+    sol = _qr_solve_aug(M, b=b).reshape(TB, H, b, 2 * b + 1)
+    DL = sol[:, :, :, :b]  # D_odd⁻¹ L_odd
+    DU = sol[:, :, :, b : 2 * b]  # D_odd⁻¹ U_odd
+    Dr = sol[:, :, :, 2 * b :]  # D_odd⁻¹ r_odd  (TB, H, b, 1)
+
+    def shift_prev(A):
+        # value at pair k ← pair k−1 (zero at k=0): the previous odd block.
+        return jnp.concatenate(
+            [jnp.zeros_like(A[:, :1]), A[:, :-1]], axis=1
+        )
+
+    DL_prev, DU_prev, Dr_prev = shift_prev(DL), shift_prev(DU), shift_prev(Dr)
+
+    def bmm(A, Bm):
+        # (TB, H, b, p) @ (TB, H, p, q) via a flat batch dim.
+        p, q = A.shape[3], Bm.shape[3]
+        return lax.dot_general(
+            A.reshape(TB * H, b, p),
+            Bm.reshape(TB * H, p, q),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(TB, H, b, q)
+
+    D_new = De - bmm(Ue, DL) - bmm(Le, DU_prev)
+    r_new = re - bmm(Ue, Dr) - bmm(Le, Dr_prev)
+    L_new = -bmm(Le, DL_prev)
+    U_new = -bmm(Ue, DU)
+
+    x_even = _cr_solve(D_new, L_new, U_new, r_new, b=b)  # (TB, H, b, 1)
+
+    # Back-substitute the odd blocks: odd 2k+1 sees even 2k (pair k) and
+    # even 2k+2 (pair k+1; zero past the end — DU there is zero anyway).
+    x_even_next = jnp.concatenate(
+        [x_even[:, 1:], jnp.zeros_like(x_even[:, :1])], axis=1
+    )
+    x_odd = Dr - bmm(DL, x_even) - bmm(DU, x_even_next)
+
+    # Interleave: stack on a new pair axis then merge into time.
+    x = jnp.stack([x_even, x_odd], axis=2).reshape(TB, T, b, 1)
+    return x
+
+
+def _thomas_kernel_cr_packed(band_ref, x_ref, *, T: int, b: int):
+    """Cyclic-reduction variant of the packed kernel: band_ref
+    (TB, T, b, 3b+1) holds [D|L|U|r]; one grid step solves the whole tile
+    in ~log₂T batched levels (see _cr_solve)."""
+    blk = band_ref[:]  # (TB, T, b, 3b+1)
+    D = blk[:, :, :, :b]
+    L = blk[:, :, :, b : 2 * b]
+    U = blk[:, :, :, 2 * b : 3 * b]
+    r = blk[:, :, :, 3 * b :]
+    x = _cr_solve(D, L, U, r, b=b)
+    x_ref[:] = x[:, :, :, 0]
+
+
+def _thomas_kernel_cr_split(d_ref, l_ref, u_ref, r_ref, x_ref, *, T: int, b: int):
+    """Separate-input CR kernel for wide blocks (3b+1 > 128, e.g. the
+    flagship b=100): no lane packing, each band its own ref."""
+    x = _cr_solve(d_ref[:], l_ref[:], u_ref[:], r_ref[:][:, :, :, None], b=b)
+    x_ref[:] = x[:, :, :, 0]
+
+
+def _pallas_block_thomas_cr(diag, lower_pad, upper_pad, rhs, batch_tile, interpret):
+    """Cyclic-reduction dispatch: packed layout when [D|L|U|r] fits one
+    128-lane tile, separate band inputs otherwise (large b)."""
+    B, T, b, _ = diag.shape
+    grid = (B // batch_tile,)
+    out_spec = pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=B * T * (5 * b**3 + 14 * b**3),
+        bytes_accessed=B * T * b * (3 * b + 1) * 4 * 2,
+        transcendentals=B * T * b,
+    )
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=96 * 2**20
+    )
+    if 3 * b + 1 <= 128:
+        packed = jnp.concatenate(
+            [diag, lower_pad, upper_pad, rhs[..., None]], axis=3
+        )  # (B, T, b, 3b+1)
+        W = 3 * b + 1
+        return pl.pallas_call(
+            functools.partial(_thomas_kernel_cr_packed, T=T, b=b),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((batch_tile, T, b, W), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=interpret,
+        )(packed)
+    blk4 = pl.BlockSpec((batch_tile, T, b, b), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_thomas_kernel_cr_split, T=T, b=b),
+        grid=grid,
+        in_specs=[blk4, blk4, blk4,
+                  pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        cost_estimate=cost,
+        compiler_params=params,
+        interpret=interpret,
+    )(diag, lower_pad, upper_pad, rhs)
+
+
 def _pallas_block_thomas_babe(diag, lower_pad, upper_pad, rhs, batch_tile, interpret):
     """Two-way packed dispatch: build the direction-folded band layout."""
     B, T, b, _ = diag.shape
@@ -405,10 +574,15 @@ def pallas_block_thomas(
     vmem_budget_bytes: int = 10 * 2**20,
     interpret: bool | None = None,
     two_way: bool | None = None,
+    mode: str | None = None,
 ) -> Array:
     """Batched fused block-Thomas: diag (B,T,b,b), lower/upper (B,T−1,b,b),
     rhs (B,T,b) → x (B,T,b). Batch tile defaults to the whole batch capped
-    by the VMEM budget (bands + scratch)."""
+    by the VMEM budget (bands + scratch).
+
+    mode: None (auto), "oneway", "babe" (two-way sweep), or "cr" (in-kernel
+    cyclic reduction, ~log₂T serial depth). ``two_way`` is the legacy alias
+    for mode="babe"."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     B, T, b, _ = diag.shape
@@ -419,25 +593,37 @@ def pallas_block_thomas(
     # per block: ~4x less VMEM per system (one padded array, no scratch) →
     # a 2-4x larger batch tile → proportionally fewer sequential grid steps.
     packed = 3 * b + 1 <= 128
-    if two_way is None:
+    if mode is None and two_way is not None:
+        mode = "babe" if (two_way and packed and T >= 2) else "oneway"
+    if mode is None:
         # Measured (v5e): the two-way sweep wins where the serial chain
         # dominates — flagship T=30/b=40: 69.2 vs 58.0 solves/s in-solver —
         # but its host-side time-reversal copy costs ~9% at short-horizon
         # big-batch shapes (T=10 lane-change: 779 vs 705 at B=128).
-        two_way = packed and T >= 20
+        mode = "babe" if (packed and T >= 20) else "oneway"
     # The two-way sweep needs a junction between two blocks; at T=1 its
     # x_{ml} store would be out of bounds.
-    two_way = two_way and packed and T >= 2
+    if mode == "babe" and not (packed and T >= 2):
+        mode = "oneway"
     if batch_tile is None:
         # Mosaic pads the last two dims to (8, 128) tiles — a (20, 20)
         # block occupies (24, 128) in VMEM. Unpacked, the kernel's scoped
         # VMEM is ~2 padded band-arrays per system (measured 16.2 MB at
-        # B=64, T=10, b=20); packed, one. Budget and floor to a power of two.
+        # B=64, T=10, b=20); packed, one; the CR level temporaries cost ~3
+        # packed-array equivalents (~6 unpacked). Budget and floor to a
+        # power of two.
         pad8 = -(-b // 8) * 8
-        per_sys = T * pad8 * 128 * diag.dtype.itemsize * (1 if packed else 2)
+        lanes = -(-b // 128) * 128
+        if mode == "cr":
+            mult, lane_w = (3, 128) if packed else (6, lanes)
+        else:
+            mult, lane_w = (1, 128) if packed else (2, lanes)
+        per_sys = T * pad8 * lane_w * diag.dtype.itemsize * mult
         cap = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
         batch_tile = 1 << (cap.bit_length() - 1)  # largest pow2 ≤ cap
-    if packed and two_way:
+    if mode == "cr":
+        impl = _pallas_block_thomas_cr
+    elif mode == "babe":
         impl = _pallas_block_thomas_babe
     elif packed:
         impl = _pallas_block_thomas_packed
@@ -507,28 +693,38 @@ def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Ar
     return block_thomas_solve(diag, lower, upper, rhs)
 
 
-@jax.custom_batching.custom_vmap
-def thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+def _make_thomas_solve(mode: str | None):
     """Single-instance entry with a custom vmap rule so the solver's
     per-instance vmap reaches the kernel as one whole-batch call."""
-    return pallas_block_thomas(
-        diag[None], lower[None], upper[None], rhs[None]
-    )[0]
+
+    @jax.custom_batching.custom_vmap
+    def solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+        return pallas_block_thomas(
+            diag[None], lower[None], upper[None], rhs[None], mode=mode
+        )[0]
+
+    @solve.def_vmap
+    def _vmap(axis_size, in_batched, diag, lower, upper, rhs):
+        ops = [diag, lower, upper, rhs]
+        for i, (batched, op) in enumerate(zip(in_batched, ops)):
+            if not batched:
+                ops[i] = jnp.broadcast_to(op[None], (axis_size,) + op.shape)
+        diag, lower, upper, rhs = ops
+        lead = diag.shape[:-3]
+        T, b = diag.shape[-3], diag.shape[-1]
+        out = pallas_block_thomas(
+            diag.reshape(-1, T, b, b),
+            lower.reshape(-1, T - 1, b, b),
+            upper.reshape(-1, T - 1, b, b),
+            rhs.reshape(-1, T, b),
+            mode=mode,
+        )
+        return out.reshape(*lead, T, b), True
+
+    return solve
 
 
-@thomas_solve.def_vmap
-def _thomas_solve_vmap(axis_size, in_batched, diag, lower, upper, rhs):
-    ops = [diag, lower, upper, rhs]
-    for i, (batched, op) in enumerate(zip(in_batched, ops)):
-        if not batched:
-            ops[i] = jnp.broadcast_to(op[None], (axis_size,) + op.shape)
-    diag, lower, upper, rhs = ops
-    lead = diag.shape[:-3]
-    T, b = diag.shape[-3], diag.shape[-1]
-    out = pallas_block_thomas(
-        diag.reshape(-1, T, b, b),
-        lower.reshape(-1, T - 1, b, b),
-        upper.reshape(-1, T - 1, b, b),
-        rhs.reshape(-1, T, b),
-    )
-    return out.reshape(*lead, T, b), True
+#: Sweep-mode auto-select (the measured default ladder).
+thomas_solve = _make_thomas_solve(None)
+#: In-kernel cyclic reduction (~log₂T serial depth; tier "tridiag_pallas_cr").
+cr_thomas_solve = _make_thomas_solve("cr")

@@ -200,6 +200,10 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import thomas_solve
 
         return thomas_solve
+    if options.linear_solver == "tridiag_pallas_cr":
+        from .kernels.thomas_pallas import cr_thomas_solve
+
+        return cr_thomas_solve
     if options.linear_solver == "tridiag_auto":
         from .kernels.thomas_pallas import auto_thomas_solve
 
@@ -207,7 +211,13 @@ def _tridiag_algorithm(options, tridiag_solver):
     return "cr" if options.linear_solver == "tridiag_cr" else "thomas"
 
 
-_TRIDIAG_TIERS = ("tridiag", "tridiag_cr", "tridiag_pallas", "tridiag_auto")
+_TRIDIAG_TIERS = (
+    "tridiag",
+    "tridiag_cr",
+    "tridiag_pallas",
+    "tridiag_pallas_cr",
+    "tridiag_auto",
+)
 
 
 def _ip_solve_body(

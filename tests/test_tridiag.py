@@ -82,6 +82,54 @@ class TestPallasThomas:
         x = pallas_block_thomas(diag, lower, upper, rhs, batch_tile=3)
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
 
+    @pytest.mark.parametrize("T", [1, 2, 3, 5, 10, 13])
+    def test_cr_kernel_matches_one_way(self, T):
+        """The in-kernel cyclic reduction (mode='cr', ~log2 T serial depth)
+        matches the one-way packed kernel for even/odd/tiny T."""
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, b = 4, 8
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(100 + T), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, max(T - 1, 0), b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, max(T - 1, 0), b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = pallas_block_thomas(diag, lower, upper, rhs, mode="oneway", batch_tile=4)
+        x_cr = pallas_block_thomas(diag, lower, upper, rhs, mode="cr", batch_tile=4)
+        np.testing.assert_allclose(np.asarray(x_cr), np.asarray(x_ref), atol=1e-5)
+
+    def test_cr_kernel_wide_blocks(self):
+        """Wide blocks (3b+1 > 128) route through the split-input CR kernel."""
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, T, b = 2, 5, 50
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+        f32 = jnp.float32
+        diag = 0.1 * jax.random.normal(k1, (B, T, b, b), f32) + 5 * jnp.eye(b, dtype=f32)
+        lower = 0.1 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.1 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = jax.vmap(block_thomas_solve)(diag, lower, upper, rhs)
+        x_cr = pallas_block_thomas(diag, lower, upper, rhs, mode="cr", batch_tile=2)
+        np.testing.assert_allclose(np.asarray(x_cr), np.asarray(x_ref), atol=2e-4)
+
+    def test_cr_tier_full_solve(self):
+        """tridiag_pallas_cr end-to-end IP solve parity with tridiag_pallas."""
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        th = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        ref = solve_batch(mcp, th, options=SolverOptions(linear_solver="tridiag_pallas"))
+        cr = solve_batch(mcp, th, options=SolverOptions(linear_solver="tridiag_pallas_cr"))
+        np.testing.assert_array_equal(np.asarray(cr.status), np.asarray(ref.status))
+        np.testing.assert_allclose(np.asarray(cr.x), np.asarray(ref.x), atol=1e-4)
+
     @pytest.mark.parametrize("T", [2, 3, 5, 10])
     def test_two_way_matches_one_way(self, T):
         """The two-way (BABE) sweep matches the one-way packed kernel and
