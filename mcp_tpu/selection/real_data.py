@@ -151,6 +151,7 @@ def evaluate_real_scenarios(
     num_sim_steps: int = 50,
     model_params: Optional[MLPParams] = None,
     input_horizon: int = 10,
+    scenario_offset: int = 0,
     verbose: bool = True,
 ) -> None:
     """Evaluation sweep on real scenarios with the real-game dynamics/bounds
@@ -167,6 +168,7 @@ def evaluate_real_scenarios(
         num_sim_steps=num_sim_steps,
         model_params=model_params,
         input_horizon=input_horizon,
+        scenario_offset=scenario_offset,
         verbose=verbose,
         file_prefix="trajectories",
     )

@@ -118,14 +118,14 @@ class TestEvaluateRealScenarios:
         params = init_mlp(
             jax.random.PRNGKey(0), input_size(N, ih, 2), num_players=N
         )
-        modes = {
-            "Distance Threshold": [2.0],
-            "Neural Network Partial Threshold": [0.5],
-        }
+        # One mode per scenario length keeps the test at ~16 closed-loop
+        # solves: the NN mode needs >10 steps to engage (long scenario);
+        # the heuristic covers the short one (the batched-vs-serial parity
+        # test elsewhere covers mixing lengths inside one sweep).
         out_dir = tmp_path / "ped_eval"
         evaluate_real_scenarios(
-            [s_long, s_short],
-            modes,
+            [s_long],
+            {"Neural Network Partial Threshold": [0.5]},
             str(out_dir),
             N=N,
             horizon=3,
@@ -134,18 +134,28 @@ class TestEvaluateRealScenarios:
             input_horizon=ih,
             verbose=False,
         )
-        for sid, expected_steps in ((0, 12), (1, 4)):
-            for mode, param in (
-                ("Distance Threshold", 2.0),
-                ("Neural Network Partial Threshold", 0.5),
-            ):
-                path = out_dir / f"trajectories_[{sid}]_[{mode}]_[{param}].json"
-                assert path.exists(), path
-                result = json.loads(path.read_text())
-                # One closed-loop state per sim step + the initial state.
-                assert len(result["Player 1 Trajectory"]) == expected_steps + 1
-                assert len(result["Player 1 Mask"]) == expected_steps
-                assert all(m[0] == 1.0 for m in result["Player 1 Mask"])
+        evaluate_real_scenarios(
+            [s_short],
+            {"Distance Threshold": [2.0]},
+            str(out_dir),
+            N=N,
+            horizon=3,
+            num_sim_steps=99,
+            input_horizon=ih,
+            scenario_offset=1,
+            verbose=False,
+        )
+        for sid, expected_steps, mode, param in (
+            (0, 12, "Neural Network Partial Threshold", 0.5),
+            (1, 4, "Distance Threshold", 2.0),
+        ):
+            path = out_dir / f"trajectories_[{sid}]_[{mode}]_[{param}].json"
+            assert path.exists(), path
+            result = json.loads(path.read_text())
+            # One closed-loop state per sim step + the initial state.
+            assert len(result["Player 1 Trajectory"]) == expected_steps + 1
+            assert len(result["Player 1 Mask"]) == expected_steps
+            assert all(m[0] == 1.0 for m in result["Player 1 Mask"])
         # The long scenario's NN mode actually reached the NN branch: its
         # mask at steps 11+ is thresholded NN output, which for a random
         # net is not guaranteed to equal the distance mask; just check the
