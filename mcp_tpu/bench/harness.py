@@ -125,7 +125,10 @@ def true_kkt_errors(mcp: PrimalDualMCP, result, thetas) -> jnp.ndarray:
     The solver's own `kkt_error` is the reference's stale pre-step metric
     (src/solver.jl:107) and its exit can be triggered by ϵ ≤ tol rather than
     kkt ≤ tol (src/solver.jl:67-119) — so for honest benchmark reporting the
-    residual is re-evaluated at the returned point."""
+    residual is re-evaluated at the returned point. Evaluated at highest
+    matmul precision: on TPU the bf16 default would put ~1e-2 of pure
+    measurement noise into a residual METRIC (measured: 0.077 median on
+    residuals the solver certifies at 1e-5)."""
 
     def kkt(x, y, s, theta):
         g, h = mcp.gh(x, y, theta)
@@ -137,7 +140,8 @@ def true_kkt_errors(mcp: PrimalDualMCP, result, thetas) -> jnp.ndarray:
             ),
         )
 
-    return jax.vmap(kkt)(result.x, result.y, result.s, jnp.asarray(thetas))
+    with jax.default_matmul_precision("highest"):
+        return jax.jit(jax.vmap(kkt))(result.x, result.y, result.s, jnp.asarray(thetas))
 
 
 def benchmark_batched(
