@@ -673,13 +673,17 @@ def _pallas_block_thomas_padded(diag, lower_pad, upper_pad, rhs, batch_tile, int
     )(diag, lower_pad, upper_pad, rhs)
 
 
-# Measured crossover (v5e, lane-change/masked-game shapes): the fused kernel
-# wins while blocks are small — b=20: 724 vs 288 solves/s; b=40 (N=4 h=30):
-# 60.2 vs 18.6 — because the XLA scan's cost there is 10-30 sequential tiny
-# batched-LU dispatches. At b=100 (N=10 h=30) the in-kernel O(b³) pivot-free
-# QR dominates and f32 accuracy degrades (0.79 vs 3.19 solves/s, success
-# 0.75): the XLA batched LU is the right tool. `auto_thomas_solve`
-# dispatches on the static block size at trace time.
+# Measured crossover (v5e, masked-game h=30 batch-8 sweep, round 2): the
+# fused kernel wins while blocks are small and the XLA scan's serial
+# dispatch chain dominates —
+#   b=20 (lane-change): 724 vs 288 solves/s      b=50 (N=5): 25.0 vs 18.8
+#   b=40 (N=4):          60.2 vs 18.6            b=60 (N=6):  6.9 vs  6.6
+# and loses above, where the in-kernel O(b³) pivot-free QR dominates and
+# f32 accuracy costs iterations/success —
+#   b=70 (N=7): 6.3 vs 8.1    b=80 (N=8): 2.4 (success 0.88) vs 7.9
+#   b=100 (N=10): 0.79 (success 0.75) vs 3.19.
+# `auto_thomas_solve` dispatches on the static block size at trace time;
+# the 60→70 boundary puts the cut at 64.
 PALLAS_THOMAS_MAX_BLOCK = 64
 
 
