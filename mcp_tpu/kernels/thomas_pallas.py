@@ -355,6 +355,10 @@ def _cr_solve(D, L, U, r, *, b: int):
 
     def shift_prev(A):
         # value at pair k ← pair k−1 (zero at k=0): the previous odd block.
+        # H == 1 has no previous pair; Mosaic rejects the zero-size slice
+        # A[:, :-1] that the general expression would create.
+        if H == 1:
+            return jnp.zeros_like(A)
         return jnp.concatenate(
             [jnp.zeros_like(A[:, :1]), A[:, :-1]], axis=1
         )
@@ -381,9 +385,12 @@ def _cr_solve(D, L, U, r, *, b: int):
 
     # Back-substitute the odd blocks: odd 2k+1 sees even 2k (pair k) and
     # even 2k+2 (pair k+1; zero past the end — DU there is zero anyway).
-    x_even_next = jnp.concatenate(
-        [x_even[:, 1:], jnp.zeros_like(x_even[:, :1])], axis=1
-    )
+    if H == 1:
+        x_even_next = jnp.zeros_like(x_even)
+    else:
+        x_even_next = jnp.concatenate(
+            [x_even[:, 1:], jnp.zeros_like(x_even[:, :1])], axis=1
+        )
     x_odd = Dr - bmm(DL, x_even) - bmm(DU, x_even_next)
 
     # Interleave: stack on a new pair axis then merge into time.
