@@ -204,6 +204,22 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import cr_thomas_solve
 
         return cr_thomas_solve
+    if options.linear_solver == "tridiag_pallas_gj":
+        from .kernels.thomas_pallas import gj_thomas_solve
+
+        return gj_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgj":
+        from .kernels.thomas_pallas import crgj_thomas_solve
+
+        return crgj_thomas_solve
+    if options.linear_solver == "tridiag_pallas_gjp":
+        from .kernels.thomas_pallas import gjp_thomas_solve
+
+        return gjp_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjp":
+        from .kernels.thomas_pallas import crgjp_thomas_solve
+
+        return crgjp_thomas_solve
     if options.linear_solver == "tridiag_auto":
         from .kernels.thomas_pallas import auto_thomas_solve
 
@@ -216,6 +232,10 @@ _TRIDIAG_TIERS = (
     "tridiag_cr",
     "tridiag_pallas",
     "tridiag_pallas_cr",
+    "tridiag_pallas_gj",
+    "tridiag_pallas_gjp",
+    "tridiag_pallas_crgj",
+    "tridiag_pallas_crgjp",
     "tridiag_auto",
 )
 

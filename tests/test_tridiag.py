@@ -114,6 +114,62 @@ class TestPallasThomas:
         x_cr = pallas_block_thomas(diag, lower, upper, rhs, mode="cr", batch_tile=2)
         np.testing.assert_allclose(np.asarray(x_cr), np.asarray(x_ref), atol=2e-4)
 
+    @pytest.mark.parametrize("fact", ["gj", "gjp"])
+    def test_gauss_jordan_fact_matches_qr(self, fact):
+        """The Gauss–Jordan in-kernel factorizations (pivot-free and
+        partially-pivoted) match the Householder QR kernel."""
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, T, b = 4, 10, 12
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(3), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_qr = pallas_block_thomas(diag, lower, upper, rhs, mode="oneway", batch_tile=4)
+        x_f = pallas_block_thomas(
+            diag, lower, upper, rhs, mode="oneway", fact=fact, batch_tile=4
+        )
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_qr), atol=1e-5)
+
+    def test_gjp_pivoting_handles_zero_leading_pivot(self):
+        """A block whose (0,0) entry is zero breaks pivot-free elimination;
+        partial pivoting must still solve it."""
+        from mcp_tpu.kernels.thomas_pallas import _gj_solve_aug, _gjp_solve_aug
+
+        b = 4
+        A = jnp.asarray(
+            [[0.0, 2.0, 0.0, 0.0],
+             [1.0, 0.0, 0.0, 0.5],
+             [0.0, 0.3, 3.0, 0.0],
+             [0.2, 0.0, 0.0, 1.0]], jnp.float32
+        )[None]
+        x_true = jnp.asarray([1.0, -2.0, 0.5, 3.0], jnp.float32)
+        rhs = (A[0] @ x_true)[None, :, None]
+        M = jnp.concatenate([A, rhs], axis=2)
+        x_gjp = _gjp_solve_aug(M, b=b)[0, :, 0]
+        np.testing.assert_allclose(np.asarray(x_gjp), np.asarray(x_true), atol=1e-5)
+        x_gj = _gj_solve_aug(M, b=b)[0, :, 0]
+        assert not np.allclose(np.asarray(x_gj), np.asarray(x_true), atol=1e-3)
+
+    def test_gjp_tier_full_solve(self):
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        th = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        ref = solve_batch(mcp, th, options=SolverOptions(linear_solver="tridiag_pallas"))
+        gjp = solve_batch(
+            mcp, th, options=SolverOptions(linear_solver="tridiag_pallas_gjp")
+        )
+        np.testing.assert_array_equal(np.asarray(gjp.status), np.asarray(ref.status))
+        np.testing.assert_allclose(np.asarray(gjp.x), np.asarray(ref.x), atol=1e-4)
+
     def test_cr_tier_full_solve(self):
         """tridiag_pallas_cr end-to-end IP solve parity with tridiag_pallas."""
         from mcp_tpu.bench import lane_change as lc
