@@ -133,20 +133,45 @@ def newton_step_schur_pallas(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
 
-def newton_step_gmres(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
-    """Iterative (GMRES) Newton step on the schur-condensed system — the
-    counterpart of the reference's selectable KrylovJL_GMRES linear solver
-    (src/MixedComplementarityProblems.jl:8, src/solver.jl:33). Useful when
-    the n×n factorization dominates and a loose inner solve suffices."""
-    A, b, b2, w, d = _schur_system(Gx, Gy, Hx, y, s, rG, rH, rC, reg)
+def _gmres_inner(A, b, *, tol, restart, maxiter, preconditioner):
+    """Configurable GMRES on the condensed system, with an optional Jacobi
+    (diagonal) right preconditioner — the IP Schur matrix's diagonal grows
+    like s/(y·w) near the boundary, so diagonal scaling buys real
+    iterations."""
     n = b.shape[0]
+    M = None
+    if preconditioner == "jacobi":
+        dinv = 1.0 / jnp.where(jnp.abs(jnp.diag(A)) > 1e-30, jnp.diag(A), 1.0)
+        M = lambda v: dinv * v
+    elif preconditioner != "none":
+        raise ValueError(f"unknown gmres preconditioner {preconditioner!r}")
     dx, _ = jax.scipy.sparse.linalg.gmres(
         lambda v: A @ v,
         b,
-        tol=1e-8,
-        restart=min(n, 50),
-        maxiter=5,
+        tol=tol,
+        restart=min(n, restart),
+        maxiter=maxiter,
+        M=M,
         solve_method="batched",
+    )
+    return dx
+
+
+def newton_step_gmres(
+    Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg,
+    *, tol: float = 1e-8, restart: int = 50, maxiter: int = 5,
+    preconditioner: str = "none",
+):
+    """Iterative (GMRES) Newton step on the schur-condensed system — the
+    counterpart of the reference's selectable KrylovJL_GMRES linear solver
+    (src/MixedComplementarityProblems.jl:8, src/solver.jl:33), with the
+    reference's pluggable-algorithm depth: tolerance, restart length,
+    iteration cap, and preconditioner are SolverOptions knobs
+    (gmres_* fields) instead of hardcoded constants."""
+    A, b, b2, w, d = _schur_system(Gx, Gy, Hx, y, s, rG, rH, rC, reg)
+    dx = _gmres_inner(
+        A, b, tol=tol, restart=restart, maxiter=maxiter,
+        preconditioner=preconditioner,
     )
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
@@ -221,7 +246,7 @@ def factored_newton_solver(tier: str):
 
     elif tier in ("schur", "schur_pallas", "gmres"):
 
-        def make(Gx, Gy, Hx, Hy, y, s, reg):
+        def make(Gx, Gy, Hx, Hy, y, s, reg, gmres_options=None):
             n = Gx.shape[0]
             dtype = Gx.dtype
             d = 1.0 / (y + reg)
@@ -235,17 +260,10 @@ def factored_newton_solver(tier: str):
 
                 inner = lambda b: gauss_solve(A, b)
             else:
-
-                def inner(b):
-                    dx, _ = jax.scipy.sparse.linalg.gmres(
-                        lambda v: A @ v,
-                        b,
-                        tol=1e-8,
-                        restart=min(n, 50),
-                        maxiter=5,
-                        solve_method="batched",
-                    )
-                    return dx
+                kw = gmres_options or dict(
+                    tol=1e-8, restart=50, maxiter=5, preconditioner="none"
+                )
+                inner = lambda b: _gmres_inner(A, b, **kw)
 
             def solve_f(bG, bH, bC):
                 b2 = -bH - d * bC

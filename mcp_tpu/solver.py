@@ -88,6 +88,17 @@ class SolverOptions:
     # back-substitution + three matvecs).
     centering_floor: float = 0.01
     refinement_steps: int = 1
+    # GMRES tier knobs (linear_solver="gmres") — the reference accepts any
+    # LinearSolve.jl algorithm with its own options (src/solver.jl:33,50);
+    # these are the iterative tier's equivalents. preconditioner: "none"
+    # (default) or "jacobi" — measured on the QP bench the diagonal
+    # preconditioner HURTS (26 vs 9 median outer iterations: the Schur
+    # diagonal varies over ~4 orders near the boundary and scaling by it
+    # distorts the restart-limited Krylov space), so it is opt-in.
+    gmres_tol: float = 1e-8
+    gmres_restart: int = 50
+    gmres_maxiter: int = 5
+    gmres_preconditioner: str = "none"
     # Fused Pallas linesearch+update kernel (kernels/linesearch_pallas.py):
     # one pallas_call replaces the per-iteration glue (pair
     # fraction-to-the-boundary search, failure detection, iterate update,
@@ -275,6 +286,14 @@ def _ip_solve_body(
         )
     elif not tridiag_family:
         newton_step = NEWTON_STEPS[options.linear_solver]
+        if options.linear_solver == "gmres":
+            newton_step = functools.partial(
+                newton_step,
+                tol=options.gmres_tol,
+                restart=options.gmres_restart,
+                maxiter=options.gmres_maxiter,
+                preconditioner=options.gmres_preconditioner,
+            )
     tol = options.tol
     dtype = x0.dtype
 
@@ -636,7 +655,21 @@ def _mehrotra_solve_body(
                     structure=mcp.time_structure, algorithm=tridiag_algorithm,
                 )
             else:
-                solve_f = make_solver(Gx, Gy, Hx, Hy, y, s, tol)
+                gm = (
+                    dict(
+                        tol=options.gmres_tol,
+                        restart=options.gmres_restart,
+                        maxiter=options.gmres_maxiter,
+                        preconditioner=options.gmres_preconditioner,
+                    )
+                    if options.linear_solver == "gmres"
+                    else None
+                )
+                solve_f = (
+                    make_solver(Gx, Gy, Hx, Hy, y, s, tol, gmres_options=gm)
+                    if gm is not None
+                    else make_solver(Gx, Gy, Hx, Hy, y, s, tol)
+                )
 
             def jac_mv(dx, dy, ds):
                 # True (unregularized) ∇F_z · δ, for iterative refinement.

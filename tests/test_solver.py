@@ -90,6 +90,33 @@ class TestLinearSolverTiers:
         np.testing.assert_allclose(sol_c.s, sol_d.s, atol=1e-8)
         assert int(sol_c.outer_iters) == int(sol_d.outer_iters)
 
+    def test_gmres_tier_with_knobs(self):
+        """GMRES tier with the pluggable knobs (reference src/solver.jl:33,50
+        accepts arbitrary LinearSolve algorithms + options): solves the QP
+        oracle with and without the Jacobi preconditioner, and a starved
+        iteration budget degrades the Newton direction without crashing."""
+        mcp = make_gh_mcp()
+        for pre in ("none", "jacobi"):
+            sol = mcp_tpu.solve(
+                mcp,
+                THETA,
+                options=mcp_tpu.SolverOptions(
+                    linear_solver="gmres", gmres_preconditioner=pre
+                ),
+            )
+            check_solution(sol)
+        starved = mcp_tpu.solve(
+            mcp,
+            THETA,
+            options=mcp_tpu.SolverOptions(
+                linear_solver="gmres", gmres_maxiter=1, gmres_restart=1,
+                gmres_tol=1e-1, max_outer_iters=60,
+            ),
+        )
+        # More outer iterations than the exact tier, but no crash.
+        exact = mcp_tpu.solve(mcp, THETA, linear_solver="condensed")
+        assert int(starved.outer_iters) >= int(exact.outer_iters)
+
 
 class TestWarmStart:
     def test_warm_start_on_perturbed_theta(self):
