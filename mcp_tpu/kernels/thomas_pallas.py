@@ -131,9 +131,15 @@ def _gjp_solve_aug(M, *, b: int):
         # Largest |entry| among unused rows; -1 sentinel keeps used rows out.
         score = jnp.abs(col_k) * (1.0 - used) - used
         top = jnp.max(score, axis=1, keepdims=True)
-        onehot = (score == top).astype(dtype)
-        # First-of-ties (cumsum == 1 selects the first max row).
-        onehot = onehot * (jnp.cumsum(onehot, axis=1) == 1.0).astype(dtype)
+        # First-of-ties via a min-index reduction (Mosaic has no cumsum):
+        # the smallest row index among the maxima wins.
+        rows_f = rows.astype(dtype)
+        first = jnp.min(
+            jnp.where(score == top, rows_f, jnp.asarray(float(b), dtype)),
+            axis=1,
+            keepdims=True,
+        )
+        onehot = (rows_f == first).astype(dtype)
         used = used + onehot
         row_k = jnp.sum(M * onehot, axis=1, keepdims=True)  # (TB, 1, nc)
         piv = row_k[:, :, k : k + 1]
