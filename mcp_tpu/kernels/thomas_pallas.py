@@ -124,6 +124,7 @@ def _gjp_solve_aug(M, *, b: int):
     dtype = M.dtype
     TB, _, nc = M.shape
     used = jnp.zeros((TB, b, 1), dtype)
+    rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
     pivot_rows = []
     eps = jnp.asarray(1e-30, dtype)
     for k in range(b):
