@@ -204,10 +204,10 @@ class TestPaperFigures:
 
 class TestExperiments:
     def test_n_scaling_small(self):
-        results = n_scaling_experiment(
-            (2, 3), horizon=3, batch=1, repeats=1, verbose=False
-        )
-        assert set(results) == {2, 3}
+        # One N exercises the whole harness (game build + timed solve);
+        # the N-sweep itself is the production experiment, not the test.
+        results = n_scaling_experiment((2,), horizon=3, batch=1, repeats=1, verbose=False)
+        assert set(results) == {2}
         assert all(v > 0 for v in results.values())
 
     def test_mask_loss_landscape(self):

@@ -117,8 +117,8 @@ class TestTraining:
         )
         params, history = train(
             runner,
-            examples[:4],
-            examples[4:],
+            examples[:2],
+            examples[4:5],
             config=config,
             log_dir=str(tmp_path / "run"),
             verbose=False,
