@@ -125,7 +125,6 @@ def _gjp_solve_aug(M, *, b: int):
     TB, _, nc = M.shape
     used = jnp.zeros((TB, b, 1), dtype)
     rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
-    pivot_rows = []
     eps = jnp.asarray(1e-30, dtype)
     for k in range(b):
         col_k = M[:, :, k : k + 1]  # (TB, b, 1) cheap static lane slice
@@ -147,11 +146,12 @@ def _gjp_solve_aug(M, *, b: int):
         inv_piv = 1.0 / jnp.where(jnp.abs(piv) > eps, piv, eps)
         factors = col_k * inv_piv * (1.0 - onehot)
         M = jnp.where(onehot > 0, row_k * inv_piv, M - factors * row_k)
-        pivot_rows.append(onehot[:, :, 0])  # (TB, b)
-    # Unscramble: solution row k lives at the k-th pivot's row.
-    P = jnp.stack(pivot_rows, axis=1)  # (TB, b, b); P[k, j] = 1 iff pivot k at row j
+    # Unscramble: after full Jordan elimination the head M[:, :, :b] IS the
+    # permutation (row p_k holds e_k), so X_final[k] = Σ_j head[j, k]·X[j]
+    # — one contraction over the row dim (no one-hot stacking, which Mosaic
+    # rejects as a mixed-offset concatenate).
     return lax.dot_general(
-        P, M[:, :, b:], (((2,), (1,)), ((0,), (0,))),
+        M[:, :, :b], M[:, :, b:], (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
     )
 
