@@ -123,29 +123,39 @@ def _gjp_solve_aug(M, *, b: int):
     on the lane-change bench)."""
     dtype = M.dtype
     TB, _, nc = M.shape
-    used = jnp.zeros((TB, b, 1), dtype)
     rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    rows_f = rows.astype(dtype)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, nc), 2)
     eps = jnp.asarray(1e-30, dtype)
-    for k in range(b):
-        col_k = M[:, :, k : k + 1]  # (TB, b, 1) cheap static lane slice
+
+    def eliminate(k, carry):
+        # One-hot extraction everywhere: static/dynamic lane SLICES at
+        # arbitrary offsets trigger full-array Mosaic relayouts (measured:
+        # the sliced variant ran 5x slower than QR), one-hot reductions
+        # read aligned data.
+        M, used = carry
+        lane_k = (lane == k).astype(dtype)
+        col_k = jnp.sum(M * lane_k, axis=2, keepdims=True)  # (TB, b, 1)
         # Largest |entry| among unused rows; -1 sentinel keeps used rows out.
         score = jnp.abs(col_k) * (1.0 - used) - used
         top = jnp.max(score, axis=1, keepdims=True)
-        # First-of-ties via a min-index reduction (Mosaic has no cumsum):
-        # the smallest row index among the maxima wins.
-        rows_f = rows.astype(dtype)
+        # First-of-ties via a min-index reduction (Mosaic has no cumsum).
         first = jnp.min(
             jnp.where(score == top, rows_f, jnp.asarray(float(b), dtype)),
             axis=1,
             keepdims=True,
         )
         onehot = (rows_f == first).astype(dtype)
-        used = used + onehot
         row_k = jnp.sum(M * onehot, axis=1, keepdims=True)  # (TB, 1, nc)
-        piv = row_k[:, :, k : k + 1]
+        piv = jnp.sum(row_k * lane_k, axis=2, keepdims=True)  # (TB, 1, 1)
         inv_piv = 1.0 / jnp.where(jnp.abs(piv) > eps, piv, eps)
         factors = col_k * inv_piv * (1.0 - onehot)
         M = jnp.where(onehot > 0, row_k * inv_piv, M - factors * row_k)
+        return M, used + onehot
+
+    M, _ = lax.fori_loop(
+        0, b, eliminate, (M, jnp.zeros((TB, b, 1), dtype))
+    )
     # Unscramble: after full Jordan elimination the head M[:, :, :b] IS the
     # permutation (row p_k holds e_k), so X_final[k] = Σ_j head[j, k]·X[j]
     # — one contraction over the row dim (no one-hot stacking, which Mosaic

@@ -168,7 +168,10 @@ class TestPallasThomas:
             mcp, th, options=SolverOptions(linear_solver="tridiag_pallas_gjp")
         )
         np.testing.assert_array_equal(np.asarray(gjp.status), np.asarray(ref.status))
-        np.testing.assert_allclose(np.asarray(gjp.x), np.asarray(ref.x), atol=1e-4)
+        # Different (exact) factorizations round differently in f32 and the
+        # IP path amplifies the difference; compare at solver tolerance.
+        np.testing.assert_allclose(np.asarray(gjp.x), np.asarray(ref.x), atol=5e-3)
+        assert float(jnp.max(gjp.kkt_error)) < 1e-3
 
     def test_cr_tier_full_solve(self):
         """tridiag_pallas_cr end-to-end IP solve parity with tridiag_pallas."""
