@@ -787,27 +787,31 @@ def _pallas_block_thomas_padded(diag, lower_pad, upper_pad, rhs, batch_tile, int
 
 
 # Measured crossover (v5e, masked-game h=30 batch-8 sweep, round 2): the
-# fused kernel wins while blocks are small and the XLA scan's serial
-# dispatch chain dominates —
+# fused sweep kernel (QR factorization) wins while blocks are small and the
+# XLA scan's serial dispatch chain dominates —
 #   b=20 (lane-change): 724 vs 288 solves/s      b=50 (N=5): 25.0 vs 18.8
 #   b=40 (N=4):          60.2 vs 18.6            b=60 (N=6):  6.9 vs  6.6
 # and loses above, where the in-kernel O(b³) pivot-free QR dominates and
 # f32 accuracy costs iterations/success —
 #   b=70 (N=7): 6.3 vs 8.1    b=80 (N=8): 2.4 (success 0.88) vs 7.9
 #   b=100 (N=10): 0.79 (success 0.75) vs 3.19.
-# `auto_thomas_solve` dispatches on the static block size at trace time;
-# the 60→70 boundary puts the cut at 64.
+# ABOVE the cut, the in-kernel cyclic reduction beats the XLA scan in the
+# depth-bound small-batch regime (time axis folded into the batch axis:
+# ~log₂T fat levels instead of T skinny LU dispatches) — N=10/h=30/batch-8
+# flagship with the gjp factorization measured 6.19 vs 3.20 solves/s at
+# success 1.0. The QR factorization keeps residuals at the XLA scan's
+# level (1.5e-3 vs gjp's 7.2e-2 on a cond-3e4 b=72 probe), so CR+QR is the
+# auto choice; CR+GJ tiers remain selectable.
 PALLAS_THOMAS_MAX_BLOCK = 64
 
 
 def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
-    """Block-size-aware Thomas solve: fused Pallas kernel for small blocks,
-    XLA-scan block-Thomas for large ones (see crossover note above)."""
+    """Block-size-aware Thomas solve: fused Pallas sweep (QR) for small
+    blocks, in-kernel cyclic reduction (QR) for large ones (see crossover
+    notes above)."""
     if diag.shape[-1] <= PALLAS_THOMAS_MAX_BLOCK:
         return thomas_solve(diag, lower, upper, rhs)
-    from .block_tridiag import block_thomas_solve
-
-    return block_thomas_solve(diag, lower, upper, rhs)
+    return cr_thomas_solve(diag, lower, upper, rhs)
 
 
 def _make_thomas_solve(mode: str | None, fact: str = "qr"):

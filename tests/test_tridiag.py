@@ -242,8 +242,10 @@ class TestPallasThomas:
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x_ref[0]), atol=1e-5)
 
     def test_auto_dispatch(self):
-        """auto_thomas_solve picks the kernel for small blocks and the XLA
-        scan above PALLAS_THOMAS_MAX_BLOCK; both match the reference scan."""
+        """auto_thomas_solve picks the QR sweep kernel for small blocks and
+        the in-kernel cyclic reduction (pivoted Gauss–Jordan) above
+        PALLAS_THOMAS_MAX_BLOCK; verified by the actual residual (different
+        exact f32 algorithms round differently at large b)."""
         from mcp_tpu.kernels.thomas_pallas import (
             PALLAS_THOMAS_MAX_BLOCK,
             auto_thomas_solve,
@@ -258,8 +260,14 @@ class TestPallasThomas:
             upper = 0.3 * jax.random.normal(k3, (T - 1, b, b), f32)
             rhs = jax.random.normal(k4, (T, b), f32)
             x = auto_thomas_solve(diag, lower, upper, rhs)
-            x_ref = block_thomas_solve(diag, lower, upper, rhs)
-            np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
+            r = jnp.einsum("tij,tj->ti", diag, x) - rhs
+            r = r.at[1:].add(jnp.einsum("tij,tj->ti", lower, x[:-1]))
+            r = r.at[:-1].add(jnp.einsum("tij,tj->ti", upper, x[1:]))
+            rel = float(jnp.max(jnp.abs(r)) / jnp.max(jnp.abs(rhs)))
+            # This random system has condition ~3e4 (not diagonally
+            # dominant at b=72): kappa*eps_f32 ~ 4e-3 is the honest floor.
+            # CR/QR measures ~4e-4 here; the rejected gjp fact was ~2e-2.
+            assert rel < 2e-3, rel
 
     def test_tier_auto_full_solve(self):
         """tridiag_auto tier solves the lane-change game (small blocks →
