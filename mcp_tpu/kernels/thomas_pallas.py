@@ -798,20 +798,23 @@ def _pallas_block_thomas_padded(diag, lower_pad, upper_pad, rhs, batch_tile, int
 # ABOVE the cut, the in-kernel cyclic reduction beats the XLA scan in the
 # depth-bound small-batch regime (time axis folded into the batch axis:
 # ~log₂T fat levels instead of T skinny LU dispatches) — N=10/h=30/batch-8
-# flagship with the gjp factorization measured 6.19 vs 3.20 solves/s at
-# success 1.0. The QR factorization keeps residuals at the XLA scan's
-# level (1.5e-3 vs gjp's 7.2e-2 on a cond-3e4 b=72 probe), so CR+QR is the
-# auto choice; CR+GJ tiers remain selectable.
+# flagship: 6.19 vs 3.20 solves/s at success 1.0 with the pivoted
+# Gauss–Jordan factorization. GJP is the large-b CR factorization by
+# necessity as well as speed: this Mosaic version fails to compile the QR
+# reductions at wide blocks/small tiles ("Offset change" on (1, b)
+# multi_reductions), and GJP's measured residual degradation (7e-2 vs
+# 1.5e-3 on a cond-3e4 probe) costs the IP loop only ~0.5 median outer
+# iterations at N=10 (success 1.0).
 PALLAS_THOMAS_MAX_BLOCK = 64
 
 
 def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
     """Block-size-aware Thomas solve: fused Pallas sweep (QR) for small
-    blocks, in-kernel cyclic reduction (QR) for large ones (see crossover
-    notes above)."""
+    blocks, in-kernel cyclic reduction (pivoted Gauss–Jordan) for large
+    ones (see crossover notes above)."""
     if diag.shape[-1] <= PALLAS_THOMAS_MAX_BLOCK:
         return thomas_solve(diag, lower, upper, rhs)
-    return cr_thomas_solve(diag, lower, upper, rhs)
+    return crgjp_thomas_solve(diag, lower, upper, rhs)
 
 
 def _make_thomas_solve(mode: str | None, fact: str = "qr"):
