@@ -9,9 +9,11 @@ Protocol (mirrors the reference benches, re-targeted at the TPU design):
     trajectory-game benchmark workload (benchmark/trajectory_game_benchmark.jl:39)
     with randomized initial states + lane preferences (:62-87).
   * batch of B random θ solved via the vmapped fixed-shape interior-point
-    solve on one TPU chip, f32, solver defaults (tol=1e-4, reference
-    src/solver.jl:42-48); timing = best of `repeats` full-batch runs after a
-    compile warm-up.
+    solve on one TPU chip, f32, tol=1e-4 (reference src/solver.jl:42-48)
+    with the tuned ϵ-annealing schedule (see --tightening-rate; pass
+    --tightening-rate 0.1 for the reference schedule, --polish for
+    certified true residuals); timing = best of `repeats` full-batch runs
+    after a compile warm-up.
   * vs_baseline: the reference's measured N=2 receding-horizon step time of
     0.23 s/solve on CPU (scripts/time_plot.py:5-14, BASELINE.md) →
     baseline rate 1/0.23 ≈ 4.35 solves/s. vs_baseline = solves_per_sec / 4.35.
