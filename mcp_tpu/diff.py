@@ -191,7 +191,7 @@ def _banded_ift_tangent(
         _inverse_permutation,
         block_cyclic_reduction_solve,
         block_thomas_solve,
-        gh_banded,
+        gh_banded_fast,
     )
 
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
@@ -203,7 +203,9 @@ def _banded_ift_tangent(
     rinv = _inverse_permutation(ts.row_permutation)
     x_, y_, s_ = sol.x, sol.y, sol.s
 
-    _, _, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(mcp, ts, x_, y_, theta)
+    _, _, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded_fast(
+        mcp, ts, x_, y_, theta
+    )
     r_blocks = (y_ / s_)[rperm].reshape(T, mt)
     # A = Gx - Gy·diag(y/s)·Hx: the reduction is block-diagonal in time.
     A_diag = diag_b - jnp.einsum("tbm,tm,tmc->tbc", Gy_b, r_blocks, Hx_b)

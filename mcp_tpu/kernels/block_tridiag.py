@@ -296,6 +296,198 @@ def gh_banded(mcp, structure: TimeStructure, x: Array, y: Array, theta: Array):
     return g, h, diag, lower, upper, Gy_blocks, Hx_blocks
 
 
+class AffineBands(NamedTuple):
+    """Exact affine decomposition of the banded Jacobian for quadratic games.
+
+    For quadratic trajectory games (quadratic costs + quadratic/affine
+    constraints, affine dynamics — e.g. the lane-change benchmark,
+    reference examples/lane_change.jl:15-55), every entry of the banded
+    Jacobian (diag, lower, upper, Gy, Hx) is an *affine* function of the
+    iterate z = (x, y) and independent of θ:
+
+        bands(z) = bands0 + T_x · x_blocks + T_y · y_blocks,
+
+    with per-time-block locality (the source variables of band block t live
+    in block t). The constant parts and linear-map tensors are computed once
+    at game-build time (build_affine_bands) and validated numerically; the
+    per-Newton-iteration linearize then collapses from 3b+3m_t forward-mode
+    seeds (gh_banded) to one residual evaluation plus a handful of tiny
+    einsums — the counterpart of the reference's one-time symbolic-Jacobian
+    sparsity analysis (src/mcp.jl:97-120), exploited one level deeper.
+
+    Tensor layouts ([t, source, out-row, out-col]); None = identically zero:
+      diag_x (T, b, b, b), diag_y (T, mt, b, b)
+      Gy_x (T, b, b, mt),  Gy_y (T, mt, b, mt)
+      Hx_x (T, b, mt, b),  Hx_y (T, mt, mt, b)
+    lower/upper must be constant (validated) — true whenever dynamics are
+    affine, which is what makes the system block-tridiagonal to begin with.
+    """
+
+    diag0: Array
+    lower0: Array
+    upper0: Array
+    Gy0: Array
+    Hx0: Array
+    diag_x: Array | None
+    diag_y: Array | None
+    Gy_x: Array | None
+    Gy_y: Array | None
+    Hx_x: Array | None
+    Hx_y: Array | None
+
+
+def reconstruct_bands(ab: AffineBands, structure: TimeStructure, x: Array, y: Array):
+    """bands(z) = bands0 + T_x·x_blocks + T_y·y_blocks (see AffineBands)."""
+    T, b, mt = structure.num_blocks, structure.block_size, structure.rows_per_block
+    perm = jnp.asarray(structure.permutation)
+    rperm = jnp.asarray(structure.row_permutation)
+    dt = x.dtype
+    P = lax.Precision.HIGHEST
+    xb = x[perm].reshape(T, b)
+    yb = y[rperm].reshape(T, mt)
+
+    def lin(base, tx, ty, spec):
+        out = base.astype(dt)
+        if tx is not None:
+            out = out + jnp.einsum("to," + spec, xb, tx.astype(dt), precision=P)
+        if ty is not None:
+            out = out + jnp.einsum("tq," + spec.replace("to", "tq", 1), yb,
+                                   ty.astype(dt), precision=P)
+        return out
+
+    diag = lin(ab.diag0, ab.diag_x, ab.diag_y, "tobc->tbc")
+    Gy = lin(ab.Gy0, ab.Gy_x, ab.Gy_y, "tobm->tbm")
+    Hx = lin(ab.Hx0, ab.Hx_x, ab.Hx_y, "tomc->tmc")
+    return diag, ab.lower0.astype(dt), ab.upper0.astype(dt), Gy, Hx
+
+
+def gh_banded_fast(mcp, structure: TimeStructure, x: Array, y: Array, theta: Array):
+    """gh_banded, routed through the precomputed affine decomposition when
+    the MCP carries one (mcp.affine_bands, attached by the game builder):
+    one residual evaluation + tiny einsums instead of the 3b+3m_t-seed
+    colored linearize. Exact for quadratic games (validated at build time);
+    identical call/return signature to gh_banded."""
+    ab = getattr(mcp, "affine_bands", None)
+    if ab is None:
+        return gh_banded(mcp, structure, x, y, theta)
+    g, h = mcp.gh(x, y, theta)
+    return (g, h) + reconstruct_bands(ab, structure, x, y)
+
+
+def build_affine_bands(
+    mcp,
+    structure: TimeStructure,
+    theta_dim: int,
+    *,
+    dtype=None,
+    rtol: float = 1e-4,
+):
+    """Probe whether the banded Jacobian is affine in z and θ-independent;
+    if so, materialize the AffineBands decomposition (eagerly, once per game
+    build). Returns None when any probe fails — non-quadratic games (e.g.
+    the masked-selection 1/d² costs) silently keep the per-iteration
+    colored-seed path.
+
+    Probes (all numeric, no symbolic analysis):
+      1. curvature:      bands(2z) - 2·bands(z) + bands(0) ≈ 0
+      2. θ-independence: bands(z; θ₁) ≈ bands(z; θ₂)
+      3. reconstruction: bands0 + tensors·z ≈ bands(z) at a fresh point
+         (catches any time-locality/coloring aliasing as well)
+      4. lower/upper linear parts ≈ 0 (affine dynamics)
+    """
+    import numpy as np
+
+    if structure.row_permutation is None:
+        return None
+    if dtype is None:
+        # Canonical float dtype (f64 under x64 so double-precision solves
+        # don't see truncated Jacobian constants; f32 otherwise).
+        dtype = jnp.asarray(0.0).dtype
+    n = mcp.unconstrained_dimension
+    m = mcp.constrained_dimension
+    T, b, mt = structure.num_blocks, structure.block_size, structure.rows_per_block
+
+    def bands_of(z, th):
+        return gh_banded(mcp, structure, z[:n], z[n:], th)[2:]
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    th0 = jax.random.normal(ks[0], (theta_dim,), dtype)
+    th1 = 1.0 + jax.random.normal(ks[1], (theta_dim,), dtype)
+    z1 = jax.random.normal(ks[2], (n + m,), dtype)
+    z2 = 0.5 + jax.random.normal(ks[3], (n + m,), dtype)
+    zeros = jnp.zeros((n + m,), dtype)
+
+    f = jax.jit(bands_of)
+    B0 = jax.tree.map(np.asarray, f(zeros, th0))
+    B1 = jax.tree.map(np.asarray, f(z1, th0))
+    B2 = jax.tree.map(np.asarray, f(2.0 * z1, th0))
+    B1b = jax.tree.map(np.asarray, f(z1, th1))
+
+    scale = max(1.0, max(np.max(np.abs(a)) for a in jax.tree.leaves(B1)))
+    tol = rtol * scale
+
+    def maxdiff(A, B):
+        return max(
+            np.max(np.abs(a - b))
+            for a, b in zip(jax.tree.leaves(A), jax.tree.leaves(B))
+        )
+
+    curvature = maxdiff(B2, jax.tree.map(lambda a, c: 2.0 * a - c, B1, B0))
+    if curvature > tol or maxdiff(B1, B1b) > tol:
+        return None
+
+    seeds = jnp.asarray(_colored_seeds(structure, n, m), dtype)
+
+    def lin_cols(z0, th):
+        _, lin = jax.linearize(lambda z: bands_of(z, th), z0)
+        return jax.vmap(lin)(seeds)
+
+    cols = jax.tree.map(np.asarray, jax.jit(lin_cols)(zeros, th0))
+    c_diag, c_lower, c_upper, c_Gy, c_Hx = cols
+    if max(np.max(np.abs(c_lower)), np.max(np.abs(c_upper)), 0.0) > tol:
+        return None  # cross-time quadratic coupling: not supported
+
+    t_idx = np.arange(T)
+    ph = t_idx % 3
+
+    def same_block(c):
+        # c: (3b+3mt, T, r, s) — keep only the same-block (phase-matched)
+        # derivatives; returns x-part (T, b, r, s) and y-part (T, mt, r, s).
+        cx = c[: 3 * b].reshape(3, b, T, *c.shape[2:])
+        cy = c[3 * b :].reshape(3, mt, T, *c.shape[2:])
+        X = cx[ph, :, t_idx]
+        Y = cy[ph, :, t_idx]
+        return (
+            jnp.asarray(X, dtype) if np.any(X) else None,
+            jnp.asarray(Y, dtype) if np.any(Y) else None,
+        )
+
+    diag_x, diag_y = same_block(c_diag)
+    Gy_x, Gy_y = same_block(c_Gy)
+    Hx_x, Hx_y = same_block(c_Hx)
+
+    ab = AffineBands(
+        diag0=jnp.asarray(B0[0], dtype),
+        lower0=jnp.asarray(B0[1], dtype),
+        upper0=jnp.asarray(B0[2], dtype),
+        Gy0=jnp.asarray(B0[3], dtype),
+        Hx0=jnp.asarray(B0[4], dtype),
+        diag_x=diag_x, diag_y=diag_y,
+        Gy_x=Gy_x, Gy_y=Gy_y,
+        Hx_x=Hx_x, Hx_y=Hx_y,
+    )
+
+    # Final end-to-end check at a fresh point (catches aliasing too).
+    rec = jax.tree.map(
+        np.asarray,
+        jax.jit(lambda z: reconstruct_bands(ab, structure, z[:n], z[n:]))(z2),
+    )
+    ref = jax.tree.map(np.asarray, f(z2, th1))
+    if maxdiff(rec, ref) > tol:
+        return None
+    return ab
+
+
 def banded_newton_step_compressed(
     diag, lower, upper, Gy_blocks, Hx_blocks,
     y, s, rG, rH, rC, reg, structure: TimeStructure, *, algorithm: str = "thomas",

@@ -72,6 +72,12 @@ class PrimalDualMCP:
     # the doubly-condensed "schur"/"tridiag" tiers and the condensed
     # sensitivity solves without a runtime check.
     assume_hy_zero: bool = False
+    # Optional precomputed affine decomposition of the banded Jacobian
+    # (kernels/block_tridiag.AffineBands), attached by the trajectory-game
+    # builder when the game is numerically verified quadratic: the solver's
+    # per-iteration linearize then costs one residual evaluation instead of
+    # a 3b+3m_t-seed forward-mode sweep.
+    affine_bands: Optional[object] = None
 
     # -- residual assembly ---------------------------------------------------
 

@@ -329,10 +329,10 @@ def _ip_solve_body(
         if use_banded_fused:
             from .kernels.block_tridiag import (
                 banded_newton_step_compressed,
-                gh_banded,
+                gh_banded_fast,
             )
 
-            g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(
+            g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded_fast(
                 mcp, mcp.time_structure, x, y, theta
             )
             rG = g.astype(dtype)
@@ -483,10 +483,10 @@ def _ip_solve_body(
             if use_banded_fused:
                 from .kernels.block_tridiag import (
                     banded_newton_step_compressed,
-                    gh_banded,
+                    gh_banded_fast,
                 )
 
-                g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(
+                g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded_fast(
                     mcp, mcp.time_structure, x, y, theta
                 )
                 rG = g.astype(dtype)
@@ -620,10 +620,10 @@ def _mehrotra_solve_body(
             from .kernels.block_tridiag import (
                 banded_jac_mv,
                 banded_newton_step_compressed,
-                gh_banded,
+                gh_banded_fast,
             )
 
-            g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded(
+            g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded_fast(
                 mcp, mcp.time_structure, x, y, theta
             )
             rG = g.astype(dtype)

@@ -235,6 +235,7 @@ def build_parametric_game(
     params_per_player: int = 0,  # not counting the initial state, which is always a param
     compute_sensitivities: bool = True,
     time_structure: bool = True,
+    affine_bands: bool = True,
 ) -> ParametricGame:
     """Compile a TrajectoryGame into a ParametricGame/MCP
     (reference examples/utils.jl:53-84, :157-178).
@@ -244,6 +245,12 @@ def build_parametric_game(
     test point, and attached to the MCP — enabling the "tridiag" linear
     solver tier. Games with cross-time couplings fail validation and simply
     don't get the structure (dense tiers still apply).
+
+    When `affine_bands` is set (default) and the banded Jacobian probes as
+    affine in the iterate and θ-independent (quadratic games: lane-change),
+    its exact precomputed decomposition is attached too — the per-iteration
+    linearize then costs one residual evaluation (block_tridiag.AffineBands).
+    Non-quadratic games fail the probe and keep the colored-seed path.
     """
     dynamics = game.dynamics
     N = game.num_players
@@ -280,6 +287,14 @@ def build_parametric_game(
                         row_permutation=rows[0], rows_per_block=rows[1]
                     )
                 mcp = _dc.replace(pg.mcp, time_structure=structure)
+                if affine_bands and structure.row_permutation is not None:
+                    from ..kernels.block_tridiag import build_affine_bands
+
+                    ab = build_affine_bands(
+                        mcp, structure, sum(pg.dims.theta)
+                    )
+                    if ab is not None:
+                        mcp = _dc.replace(mcp, affine_bands=ab)
                 pg = ParametricGame(
                     problems=pg.problems,
                     shared_equality=pg.shared_equality,
