@@ -394,6 +394,154 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int, fa
         x_ref[:, pl.ds(0, 1)] = x0[:, None]
 
 
+def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int):
+    """Lane-major ("batch-on-lanes") block-Thomas sweep.
+
+    The batch-major packed kernel stores each system's (b, 3b+1) block in a
+    Mosaic-padded (⌈b/8⌉·8, 128) tile — at the headline b=20 that is 2.5x
+    padding waste on a kernel that is measured VMEM-bandwidth-bound
+    (DESIGN.md §7). Here the layout is column-major with the BATCH on the
+    128-lane axis: band_ref (T, 3b8+1, b8, LB) where band[t, j] is matrix
+    COLUMN j of time-block t ([D | L | U | r] column groups), rows on
+    sublanes, LB = 128 systems on lanes — every tile 100% dense for any b.
+    Column access is a free untiled leading-dim index; each Householder
+    reflection is two full passes over the (2b8+1, b8, LB) augmented block
+    (one masked sublane-reduction read, one rank-1 update) versus the
+    batch-major kernel's ~5.7 padded passes. All block loops are statically
+    unrolled so every value slice is compile-time (no Mosaic gathers).
+
+    cd_ref scratch (T, b8+1, b8, LB) holds the solved [C | d] columns.
+    Blocks are identity-padded b → b8 = ⌈b/8⌉·8 host-side (decoupled rows,
+    x_pad = 0).
+    """
+    dtype = x_ref.dtype
+    LB = x_ref.shape[-1]
+    eps = jnp.asarray(1e-30, dtype)
+    srow = lax.broadcasted_iota(jnp.int32, (b8, LB), 0)
+
+    def qr_solve_cols(M):
+        # Solve M[:b8] X = M[b8:] in column storage; M (b8 + m, b8, LB) →
+        # X (m, b8, LB). Householder QR, statically unrolled.
+        for k in range(b8):
+            col = M[k]
+            below = (srow >= k).astype(dtype)
+            pivm = (srow == k).astype(dtype)
+            v = col * below
+            vk = jnp.sum(v * pivm, axis=0, keepdims=True)  # (1, LB)
+            norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + eps)
+            sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
+            u = v + (sign * norm) * pivm
+            beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)  # (1, LB)
+            w = jnp.sum(M * u[None], axis=1, keepdims=True)  # (nc, 1, LB)
+            M = M - (beta[None] * w) * u[None]
+        Q = M[b8:]  # RHS block → X, built in place
+        for k in range(b8 - 1, -1, -1):
+            rk = M[k]  # R column k
+            pivm = (srow == k).astype(dtype)
+            strict = (srow < k).astype(dtype)
+            rkk = jnp.sum(rk * pivm, axis=0, keepdims=True)
+            qk = jnp.sum(Q * pivm[None], axis=1, keepdims=True)  # (m,1,LB)
+            xk = qk / rkk[None]
+            Q = jnp.where(pivm[None] > 0, xk, Q - xk * (rk * strict)[None])
+        return Q
+
+    def fwd(t, _):
+        blk = band_ref[pl.ds(t, 1)][0]  # (3b8+1, b8, LB)
+        D = blk[:b8]
+        Lc = blk[b8 : 2 * b8]
+        U = blk[2 * b8 : 3 * b8]
+        r = blk[3 * b8 :]  # (1, b8, LB)
+        tp = jnp.maximum(t - 1, 0)
+        prev = jnp.where(
+            t > 0, cd_ref[pl.ds(tp, 1)][0], jnp.zeros((), dtype)
+        )  # (b8+1, b8, LB): [C cols | d col] of step t−1
+        # L @ [C | d] in column storage: out_col_j = Σ_k L_col_k · prev[j, k]
+        # (static unroll: every sublane extraction is a compile-time mask).
+        LCd = jnp.zeros((), dtype)
+        for k in range(b8):
+            sk = jnp.sum(
+                prev * (srow == k).astype(dtype)[None], axis=1, keepdims=True
+            )  # (b8+1, 1, LB)
+            LCd = LCd + sk * Lc[k][None]
+        denom = D - LCd[:b8]
+        rhs = jnp.concatenate([U, r - LCd[b8:]], axis=0)  # (b8+1, b8, LB)
+        M = jnp.concatenate([denom, rhs], axis=0)
+        cd_ref[pl.ds(t, 1)] = qr_solve_cols(M)[None]
+        return 0
+
+    lax.fori_loop(0, T, fwd, 0, unroll=False)
+
+    def bwd(i, x_next):
+        t = T - 1 - i
+        cd = cd_ref[pl.ds(t, 1)][0]  # (b8+1, b8, LB)
+        acc = cd[b8]  # d column values
+        for j in range(b8):
+            xj = jnp.sum(
+                x_next * (srow == j).astype(dtype), axis=0, keepdims=True
+            )  # (1, LB)
+            acc = acc - cd[j] * xj
+        x_ref[pl.ds(t, 1)] = acc[None]
+        return acc
+
+    lax.fori_loop(0, T, bwd, jnp.zeros((b8, LB), dtype), unroll=False)
+
+
+def _pallas_block_thomas_lanes(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
+    """Lane-major dispatch: identity-pad blocks b → b8, transpose to
+    column-major batch-on-lanes storage, one grid step per 128 systems."""
+    del fact  # QR only (stability at full lane density)
+    B, T, b, _ = diag.shape
+    dtype = diag.dtype
+    b8 = -(-b // 8) * 8
+    LB = 128
+    if b8 > b:
+        p = b8 - b
+        eye_tail = jnp.concatenate(
+            [jnp.zeros((p, b), dtype), jnp.eye(p, dtype=dtype)], axis=1
+        )  # (p, b8)
+        def pad_blocks(A, tail):
+            A = jnp.concatenate([A, jnp.zeros((B, T, A.shape[2], p), dtype)], axis=3)
+            return jnp.concatenate(
+                [A, jnp.broadcast_to(tail, (B, T, p, b8))], axis=2
+            )
+        diag = pad_blocks(diag, eye_tail)
+        zero_tail = jnp.zeros((p, b8), dtype)
+        lower_pad = pad_blocks(lower_pad, zero_tail)
+        upper_pad = pad_blocks(upper_pad, zero_tail)
+        rhs = jnp.concatenate([rhs, jnp.zeros((B, T, p), dtype)], axis=2)
+    # Column-major batch-on-lanes: (B, T, i, j) → (T, j, i, B).
+    to_cols = lambda A: jnp.transpose(A, (1, 3, 2, 0))
+    band = jnp.concatenate(
+        [to_cols(diag), to_cols(lower_pad), to_cols(upper_pad),
+         jnp.transpose(rhs, (1, 2, 0))[:, None]],
+        axis=1,
+    )  # (T, 3b8+1, b8, B)
+    W = 3 * b8 + 1
+    grid = (B // LB,)
+    x = pl.pallas_call(
+        functools.partial(_thomas_kernel_lanes, T=T, b8=b8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, W, b8, LB), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((T, b8, LB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, b8, B), dtype),
+        scratch_shapes=[pltpu.VMEM((T, b8 + 1, b8, LB), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * b8**3 + 6 * b8**3),
+            bytes_accessed=B * T * b8 * W * 4 * 2,
+            transcendentals=B * T * b8,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2**20
+        ),
+        interpret=interpret,
+    )(band)
+    return jnp.transpose(x, (2, 0, 1))[:, :, :b]
+
+
 def _eye_like(TB: int, b: int, dtype):
     """Identity blocks via iota (no host constant materialization)."""
     return (
@@ -718,6 +866,9 @@ def pallas_block_thomas(
     # x_{ml} store would be out of bounds.
     if mode == "babe" and not (packed and T >= 2):
         mode = "oneway"
+    if mode == "lanes":
+        # Lane-major: the lane axis carries exactly 128 systems per tile.
+        batch_tile = 128
     if batch_tile is None:
         # Mosaic pads the last two dims to (8, 128) tiles — a (20, 20)
         # block occupies (24, 128) in VMEM. Unpacked, the kernel's scoped
@@ -738,6 +889,8 @@ def pallas_block_thomas(
         impl = _pallas_block_thomas_cr
     elif mode == "babe":
         impl = _pallas_block_thomas_babe
+    elif mode == "lanes":
+        impl = _pallas_block_thomas_lanes
     elif packed:
         impl = _pallas_block_thomas_packed
     else:
@@ -862,3 +1015,5 @@ gjp_thomas_solve = _make_thomas_solve(None, fact="gjp")
 crgj_thomas_solve = _make_thomas_solve("cr", fact="gj")
 #: CR + pivoted Gauss–Jordan (tier "tridiag_pallas_crgjp").
 crgjp_thomas_solve = _make_thomas_solve("cr", fact="gjp")
+#: Lane-major batch-on-lanes sweep (tier "tridiag_pallas_lanes").
+lanes_thomas_solve = _make_thomas_solve("lanes")

@@ -231,6 +231,10 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import crgjp_thomas_solve
 
         return crgjp_thomas_solve
+    if options.linear_solver == "tridiag_pallas_lanes":
+        from .kernels.thomas_pallas import lanes_thomas_solve
+
+        return lanes_thomas_solve
     if options.linear_solver == "tridiag_auto":
         from .kernels.thomas_pallas import auto_thomas_solve
 
@@ -247,6 +251,7 @@ _TRIDIAG_TIERS = (
     "tridiag_pallas_gjp",
     "tridiag_pallas_crgj",
     "tridiag_pallas_crgjp",
+    "tridiag_pallas_lanes",
     "tridiag_auto",
 )
 

@@ -70,6 +70,19 @@ with jax.default_matmul_precision("highest"):
 
     timeit("gh_banded assembly", assembly, jnp.float32(0))
 
+    # (a2) the affine-bands fast path (one residual eval + tiny einsums),
+    # attached by the builder for quadratic games.
+    if getattr(mcp, "affine_bands", None) is not None:
+        from mcp_tpu.kernels.block_tridiag import gh_banded_fast
+
+        def assembly_fast(i, c):
+            g, h, diag, lower, upper, Gy_b, Hx_b = jax.vmap(
+                lambda xx, yy, tt: gh_banded_fast(mcp, ts, xx, yy, tt)
+            )(x + c * 0, y, thetas)
+            return c + jnp.sum(diag) * 1e-20
+
+        timeit("affine-bands assembly (fast path)", assembly_fast, jnp.float32(0))
+
     # precompute bands once for phase (b)
     g, h, diag, lower, upper, Gy_b, Hx_b = jax.jit(
         jax.vmap(lambda xx, yy, tt: gh_banded(mcp, ts, xx, yy, tt))

@@ -133,6 +133,24 @@ class TestPallasThomas:
         )
         np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_qr), atol=1e-5)
 
+    @pytest.mark.parametrize("shape", [(4, 10, 20), (3, 1, 8), (5, 7, 5)])
+    def test_lane_major_matches_xla_thomas(self, shape):
+        """Lane-major (batch-on-lanes) kernel: column-major storage, batch
+        on the 128-lane axis, identity pad b → ⌈b/8⌉·8 — must reproduce the
+        XLA Thomas for padded/exact block sizes and T=1."""
+        from mcp_tpu.kernels.thomas_pallas import pallas_block_thomas
+
+        B, T, b = shape
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(40 + b), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, max(T - 1, 0), b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, max(T - 1, 0), b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_ref = jax.vmap(block_thomas_solve)(diag, lower, upper, rhs)
+        x = pallas_block_thomas(diag, lower, upper, rhs, mode="lanes")
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
+
     def test_gjp_pivoting_handles_zero_leading_pivot(self):
         """A block whose (0,0) entry is zero breaks pivot-free elimination;
         partial pivoting must still solve it."""
@@ -172,6 +190,24 @@ class TestPallasThomas:
         # IP path amplifies the difference; compare at solver tolerance.
         np.testing.assert_allclose(np.asarray(gjp.x), np.asarray(ref.x), atol=5e-3)
         assert float(jnp.max(gjp.kkt_error)) < 1e-3
+
+    def test_lanes_tier_full_solve(self):
+        """tridiag_pallas_lanes end-to-end IP solve parity with tridiag_pallas."""
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        th = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        ref = solve_batch(mcp, th, options=SolverOptions(linear_solver="tridiag_pallas"))
+        lanes = solve_batch(
+            mcp, th, options=SolverOptions(linear_solver="tridiag_pallas_lanes")
+        )
+        np.testing.assert_array_equal(np.asarray(lanes.status), np.asarray(ref.status))
+        np.testing.assert_allclose(np.asarray(lanes.x), np.asarray(ref.x), atol=1e-4)
 
     def test_cr_tier_full_solve(self):
         """tridiag_pallas_cr end-to-end IP solve parity with tridiag_pallas."""
