@@ -48,13 +48,15 @@ def main() -> None:
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
     # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
-    # (colored-seed banded assembly + the fused whole-batch lane-packed
-    # Pallas block-Thomas, kernels/thomas_pallas.py) is the fastest:
-    # 852 solves/s at batch 256 vs 288 tridiag (XLA-scan Thomas) vs 193
-    # schur_pallas vs 149 schur on the lane-change bench — the XLA scan
-    # spent 60% of each iteration in 10 sequential tiny batched LU
-    # dispatches that the fused kernel runs in one VMEM-resident
-    # pallas_call.
+    # (affine-bands/colored-seed banded assembly + the fused whole-batch
+    # Pallas block-Thomas, kernels/thomas_pallas.py; auto-selects the
+    # lane-major batch-on-lanes kernel at B>=128) is the fastest:
+    # 5215 solves/s at batch 256 (1242 batch-major packed, 288 tridiag
+    # XLA-scan Thomas, 193 schur_pallas, 149 schur) on the lane-change
+    # bench — the XLA scan spent 60% of each iteration in 10 sequential
+    # tiny batched LU dispatches that the fused kernel runs in one
+    # VMEM-resident pallas_call; the lane-major layout then removes the
+    # 2.5x Mosaic tile padding that bound it (DESIGN.md §7).
     parser.add_argument("--tier", default="tridiag_pallas")
     # Terminal polish: certify the TRUE residual ≤ tol (SolverOptions.polish).
     parser.add_argument("--polish", action="store_true")

@@ -857,11 +857,22 @@ def pallas_block_thomas(
     if mode is None and two_way is not None:
         mode = "babe" if (two_way and packed and T >= 2) else "oneway"
     if mode is None:
-        # Measured (v5e): the two-way sweep wins where the serial chain
-        # dominates — flagship T=30/b=40: 69.2 vs 58.0 solves/s in-solver —
-        # but its host-side time-reversal copy costs ~9% at short-horizon
-        # big-batch shapes (T=10 lane-change: 779 vs 705 at B=128).
-        mode = "babe" if (packed and T >= 20) else "oneway"
+        # Measured (v5e): the lane-major sweep dominates the large-batch
+        # small-block regime — headline B=256/T=10/b=20: 5214.8 vs 1241.6
+        # solves/s end-to-end (identical iterates; the batch-major packed
+        # tile wastes 2.5x VMEM traffic on Mosaic padding and its QR passes
+        # cost ~2x more — DESIGN.md §7). Gate on a full 128-lane tile of
+        # systems and the whole band block fitting VMEM comfortably.
+        b8 = -(-b // 8) * 8
+        lanes_bytes = T * (3 * b8 + 1) * b8 * 128 * diag.dtype.itemsize
+        if B >= 128 and lanes_bytes <= 32 * 2**20:
+            mode = "lanes"
+        else:
+            # The two-way sweep wins where the serial chain dominates —
+            # flagship T=30/b=40: 69.2 vs 58.0 solves/s in-solver — but its
+            # host-side time-reversal copy costs ~9% at short-horizon
+            # big-batch shapes (T=10 lane-change: 779 vs 705 at B=128).
+            mode = "babe" if (packed and T >= 20) else "oneway"
     # The two-way sweep needs a junction between two blocks; at T=1 its
     # x_{ml} store would be out of bounds.
     if mode == "babe" and not (packed and T >= 2):
