@@ -44,7 +44,11 @@ def main() -> None:
     # VMEM tile's worth of systems (measured with the lane-packed kernel:
     # 779/s at 128, 852/s at 256).
     parser.add_argument("--batch", type=int, default=256)
-    parser.add_argument("--repeats", type=int, default=3)
+    # Median-of-5 with a FRESH θ batch per repeat plus an in-graph
+    # cross-check (harness.benchmark_batched): hardened against the round-2
+    # driver artifact where identical repeated dispatches were collapsed by
+    # backend caching and min-of-3 reported an 85x-wrong number.
+    parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
     # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
@@ -59,7 +63,14 @@ def main() -> None:
     # 2.5x Mosaic tile padding that bound it (DESIGN.md §7).
     parser.add_argument("--tier", default="tridiag_pallas")
     # Terminal polish: certify the TRUE residual ≤ tol (SolverOptions.polish).
-    parser.add_argument("--polish", action="store_true")
+    # DEFAULT ON since round 3: the driver-visible headline must be honest at
+    # tolerance (frac_true_kkt_at_tol = 1.0) — the reference's benchmark
+    # protocol counts solves at tolerance (benchmark/path.jl:8,101-126), and
+    # the bare ϵ-exit loop can report :solved with true ‖F‖∞ above tol.
+    # --no-polish gives the reference-parity uncertified exit.
+    parser.add_argument(
+        "--polish", action=argparse.BooleanOptionalAction, default=True
+    )
     # ϵ-annealing rate. The library default stays the reference's 0.1
     # (src/solver.jl:44, conformance); the BENCH default is the tuned 0.02
     # — faster annealing, same algorithm: measured 865.5 → 1174.2 solves/s
@@ -90,13 +101,24 @@ def main() -> None:
         problem = qp.generate_test_problem()
         mcp = problem.mcp
         thetas = qp.generate_parameter_batch(key, batch, dtype=jnp.float32)
+        theta_sampler = lambda i: qp.generate_parameter_batch(
+            jax.random.fold_in(key, 1 + i), batch, dtype=jnp.float32
+        )
         metric_name = "qp_mcp_solves_per_sec"
         if args.tier.startswith("tridiag"):
-            args.tier = "schur"  # QPs have no time structure; schur is exact
+            print(
+                f"note: --tier {args.tier} has no QP time structure; "
+                "running the exact 'schur' tier instead",
+                file=sys.stderr,
+            )
+            args.tier = "schur"
     else:
         bench = lc.generate_test_problem(horizon=10)
         mcp = bench.parametric_game.mcp
         thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
+        theta_sampler = lambda i: lc.generate_parameter_batch(
+            jax.random.fold_in(key, 1 + i), batch, bench, dtype=jnp.float32
+        )
         metric_name = "lane_change_mcp_solves_per_sec"
 
     from mcp_tpu.solver import SolverOptions
@@ -129,16 +151,20 @@ def main() -> None:
             "batch_size": out_sweep["batch_size"],
             "success_rate": out_sweep["final_success_rate"],
             "median_outer_iters": out_sweep["median_outer_iters_per_step"][-1],
-            "best_batch_time_s": 0.0,
-            "max_kkt_error_solved": 0.0,
-            "true_kkt_max": 0.0,
-            "true_kkt_median": 0.0,
-            "frac_true_kkt_at_tol": 0.0,
+            "best_batch_time_s": out_sweep["median_step_time_s"],
+            "max_kkt_error_solved": out_sweep["true_kkt_max"],
+            "true_kkt_max": out_sweep["true_kkt_max"],
+            "true_kkt_median": out_sweep["true_kkt_median"],
+            "frac_true_kkt_at_tol": out_sweep["frac_true_kkt_at_tol"],
         }
         metric_name = "warm_lane_change_mcp_solves_per_sec"
     else:
         stats = harness.benchmark_batched(
-            mcp, thetas, repeats=args.repeats, options=options
+            mcp,
+            thetas,
+            repeats=args.repeats,
+            options=options,
+            theta_sampler=theta_sampler,
         )
 
     baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
@@ -159,8 +185,12 @@ def main() -> None:
         "true_kkt_median": float(f"{stats['true_kkt_median']:.3g}"),
         "frac_true_kkt_at_tol": round(stats["frac_true_kkt_at_tol"], 4),
         "tol": args.tol,
+        "certified": bool(args.polish),
         "device": str(jax.devices()[0]),
     }
+    for k in ("median_batch_time_s", "ingraph_batch_time_s", "timing_consistent"):
+        if k in stats:
+            out[k] = round(stats[k], 4) if isinstance(stats[k], float) else stats[k]
     print(json.dumps(out))
 
 

@@ -19,9 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..mcp import PrimalDualMCP
 from ..parallel.batch import batch_statistics, solve_batch
 from ..solver import SolverOptions
+from ..diff import _solve
 from .. import diff as _diff
 
 
@@ -110,12 +113,22 @@ def benchmark_warm_sweep(
         result.x.block_until_ready()
         times.append(time.perf_counter() - t0)
         iters.append(batch_statistics(result)["median_outer_iters"])
+    # Honest convergence reporting for the warm suite too (VERDICT r2 #7):
+    # recomputed final-step ‖F‖∞ over the final batch, solved-only extremes.
+    true_kkt = np.asarray(true_kkt_errors(mcp, result, theta_sweep[-1]))
+    solved = np.asarray(result.status) == 0
+    solved_kkt = true_kkt[solved] if solved.any() else np.asarray([np.nan])
     return {
         "sweep_steps": K,
         "batch_size": B,
         "warm_solves_per_sec": (K - 1) * B / sum(times) if times else float("nan"),
+        "median_step_time_s": float(np.median(times)) if times else float("nan"),
+        "step_times_s": [float(t) for t in times],
         "median_outer_iters_per_step": iters,
         "final_success_rate": batch_statistics(result)["success_rate"],
+        "true_kkt_max": float(np.max(solved_kkt)),
+        "true_kkt_median": float(np.median(solved_kkt)),
+        "frac_true_kkt_at_tol": float(np.mean(true_kkt <= options.tol)),
     }
 
 
@@ -144,49 +157,145 @@ def true_kkt_errors(mcp: PrimalDualMCP, result, thetas) -> jnp.ndarray:
         return jax.jit(jax.vmap(kkt))(result.x, result.y, result.s, jnp.asarray(thetas))
 
 
+@functools.lru_cache(maxsize=None)
+def _ingraph_repeat_solver(mcp: PrimalDualMCP, options: SolverOptions, repeats: int):
+    """One jitted dispatch that solves `repeats` DIFFERENT θ batches
+    sequentially inside a lax.fori_loop and reduces each solution into a
+    scalar (so no solve can be dead-code-eliminated). Host-times device
+    compute with the per-dispatch overhead amortized over all repeats —
+    immune to any execution-level dispatch caching by construction (every
+    iteration consumes different data inside one executable)."""
+
+    def run(theta_stack, x0, y0, s0):  # (R, B, p), (B, n), (B, m), (B, m)
+        vsolve = jax.vmap(
+            lambda th, a, b, c: _solve(mcp, options, th, a, b, c)
+        )
+
+        def body(i, acc):
+            res = vsolve(theta_stack[i], x0, y0, s0)
+            return (
+                acc
+                + jnp.sum(res.x).astype(jnp.float32)
+                + jnp.sum(res.outer_iters).astype(jnp.float32)
+            )
+
+        return jax.lax.fori_loop(0, repeats, body, jnp.float32(0.0))
+
+    return jax.jit(run)
+
+
 def benchmark_batched(
     mcp: PrimalDualMCP,
     thetas,
     *,
-    repeats: int = 3,
+    repeats: int = 5,
     options: Optional[SolverOptions] = None,
+    theta_sampler=None,
+    ingraph_check: bool = True,
     **option_overrides,
 ) -> dict:
     """Whole-batch vmapped solve, timed over `repeats` runs after a compile
     warm-up. Reports solves/s + per-instance convergence statistics,
     including the recomputed (non-stale) final KKT errors and the fraction
-    of instances truly at ‖F‖∞ ≤ tol (see `true_kkt_errors`)."""
+    of instances truly at ‖F‖∞ ≤ tol (see `true_kkt_errors`).
+
+    Timing is hardened against backend execution caching (round-2 BENCH
+    artifact: repeats of byte-identical inputs collapsed to an ~85x-fast
+    round-trip on the experimental axon backend, and `min` picked it):
+      * every repeat solves a FRESH θ batch — `theta_sampler(i) -> (B, p)`
+        when given, else a deterministic small perturbation of `thetas`;
+      * the headline time is the MEDIAN over repeats, not the min;
+      * when `ingraph_check`, the same solve also runs `repeats` times
+        inside ONE compiled fori_loop dispatch (`_ingraph_repeat_solver`)
+        and the two per-batch times must agree within 2x, else a warning
+        prints and `timing_consistent: false` is reported. The in-graph
+        number amortizes the per-dispatch tunnel overhead, so it is the
+        defensible device-throughput figure; the host median includes
+        real dispatch latency an end user would also pay.
+    """
     if options is None:
         options = SolverOptions(**option_overrides)
     thetas = jnp.asarray(thetas)
     B = thetas.shape[0]
+
+    def batch_for(i: int):
+        if theta_sampler is not None:
+            return jnp.asarray(theta_sampler(i), thetas.dtype)
+        # Fallback: deterministic per-repeat perturbation — small enough to
+        # keep the problem distribution, non-zero so no two dispatches see
+        # identical bytes.
+        key = jax.random.PRNGKey(1000 + i)
+        return thetas + 1e-3 * jax.random.normal(key, thetas.shape, thetas.dtype)
+
     # Warm-up/compile.
     result = solve_batch(mcp, thetas, options=options)
     result.x.block_until_ready()
     times = []
-    for _ in range(repeats):
+    for r in range(repeats):
+        th = batch_for(r)
+        th.block_until_ready()  # θ generation stays outside the clock
         t0 = time.perf_counter()
-        result = solve_batch(mcp, thetas, options=options)
+        result = solve_batch(mcp, th, options=options)
         result.x.block_until_ready()
         times.append(time.perf_counter() - t0)
-    best = min(times)
+        last_thetas = th
+    median_t = float(np.median(times))
+
     stats = batch_statistics(result)
-    true_kkt = np.asarray(true_kkt_errors(mcp, result, thetas))
+    true_kkt = np.asarray(true_kkt_errors(mcp, result, last_thetas))
     # True-KKT stats over SOLVED instances (failed ones return their last
     # iterate, whose residual is meaningless for convergence reporting —
-    # the success_rate already accounts for them). frac_true_kkt_at_tol
-    # stays over ALL instances: it is the honest end-to-end success rate.
+    # the success_rate already accounts for them; with zero solved the
+    # extremes are NaN, not garbage residuals of failed runs).
+    # frac_true_kkt_at_tol stays over ALL instances: it is the honest
+    # end-to-end success rate.
     solved = np.asarray(result.status) == 0
-    solved_kkt = true_kkt[solved] if solved.any() else true_kkt
+    solved_kkt = true_kkt[solved] if solved.any() else np.asarray([np.nan])
     stats.update(
         {
             "batch_size": B,
-            "best_batch_time_s": best,
+            "best_batch_time_s": float(min(times)),
+            "median_batch_time_s": median_t,
             "mean_batch_time_s": float(np.mean(times)),
-            "solves_per_sec": B / best,
-            "true_kkt_max": float(solved_kkt.max()),
+            "solves_per_sec": B / median_t,
+            "true_kkt_max": float(np.max(solved_kkt)),
             "true_kkt_median": float(np.median(solved_kkt)),
             "frac_true_kkt_at_tol": float(np.mean(true_kkt <= options.tol)),
         }
     )
+
+    if ingraph_check:
+        stack = jnp.stack([batch_for(repeats + r) for r in range(repeats)])
+        n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+        x0 = jnp.zeros((B, n), thetas.dtype)
+        y0 = jnp.ones((B, m), thetas.dtype)
+        s0 = jnp.ones((B, m), thetas.dtype)
+        fn = _ingraph_repeat_solver(mcp, options, repeats)
+        fn(stack, x0, y0, s0).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        fn(stack, x0, y0, s0).block_until_ready()
+        ingraph_t = (time.perf_counter() - t0) / repeats
+        ratio = max(median_t, ingraph_t) / max(min(median_t, ingraph_t), 1e-12)
+        consistent = ratio <= 2.0
+        if not consistent:
+            import warnings
+
+            warnings.warn(
+                f"benchmark timing cross-check FAILED: host median "
+                f"{median_t:.4f} s/batch vs in-graph {ingraph_t:.4f} s/batch "
+                f"({ratio:.1f}x apart) — one of them is a measurement "
+                "artifact; trust the larger.",
+                stacklevel=2,
+            )
+        stats.update(
+            {
+                "ingraph_batch_time_s": ingraph_t,
+                "ingraph_solves_per_sec": B / ingraph_t,
+                "timing_consistent": bool(consistent),
+            }
+        )
+        if not consistent:
+            # Conservative headline: never let a caching artifact inflate
+            # the reported rate in either direction.
+            stats["solves_per_sec"] = B / max(median_t, ingraph_t)
     return stats

@@ -380,7 +380,8 @@ def build_affine_bands(
     theta_dim: int,
     *,
     dtype=None,
-    rtol: float = 1e-4,
+    rtol: float | None = None,
+    max_bytes: int = 32 * 2**20,
 ):
     """Probe whether the banded Jacobian is affine in z and θ-independent;
     if so, materialize the AffineBands decomposition (eagerly, once per game
@@ -394,6 +395,17 @@ def build_affine_bands(
       3. reconstruction: bands0 + tensors·z ≈ bands(z) at a fresh point
          (catches any time-locality/coloring aliasing as well)
       4. lower/upper linear parts ≈ 0 (affine dynamics)
+    Any non-finite probe value fails (a NaN band would otherwise pass every
+    `diff > tol` comparison and bake a NaN Jacobian into every solve).
+
+    rtol defaults to near-probe-noise for an exact decomposition: 1e-8 under
+    x64, 1e-5 under f32 (quadratic games satisfy the probes to machine
+    precision; a loose tolerance would let a weakly non-affine game attach a
+    slightly wrong Jacobian that costs iterations without failing residuals).
+
+    max_bytes caps the ATTACHED tensor size (the decomposition is baked into
+    every jit trace as constants, and the build's colored-linearize transient
+    is ~9x larger): games past the cap keep the colored-seed path.
     """
     import numpy as np
 
@@ -403,6 +415,8 @@ def build_affine_bands(
         # Canonical float dtype (f64 under x64 so double-precision solves
         # don't see truncated Jacobian constants; f32 otherwise).
         dtype = jnp.asarray(0.0).dtype
+    if rtol is None:
+        rtol = 1e-8 if jnp.dtype(dtype) == jnp.float64 else 1e-5
     n = mcp.unconstrained_dimension
     m = mcp.constrained_dimension
     T, b, mt = structure.num_blocks, structure.block_size, structure.rows_per_block
@@ -423,6 +437,14 @@ def build_affine_bands(
     B2 = jax.tree.map(np.asarray, f(2.0 * z1, th0))
     B1b = jax.tree.map(np.asarray, f(z1, th1))
 
+    def allfinite(*trees):
+        return all(
+            np.all(np.isfinite(a)) for t in trees for a in jax.tree.leaves(t)
+        )
+
+    if not allfinite(B0, B1, B2, B1b):
+        return None
+
     scale = max(1.0, max(np.max(np.abs(a)) for a in jax.tree.leaves(B1)))
     tol = rtol * scale
 
@@ -436,6 +458,25 @@ def build_affine_bands(
     if curvature > tol or maxdiff(B1, B1b) > tol:
         return None
 
+    # Size gate before the colored linearize: worst-case attached bytes =
+    # one (b + mt)-source derivative tensor per band leaf (the transient
+    # colored-seed columns below are ~3 phases × 3 sources bigger still).
+    itemsize = jnp.dtype(dtype).itemsize
+    est_attached = (
+        sum((b + mt) * int(a.size) for a in jax.tree.leaves(B0)) * itemsize
+    )
+    if est_attached > max_bytes:
+        import warnings
+
+        warnings.warn(
+            f"affine-bands decomposition skipped: estimated attached size "
+            f"{est_attached / 2**20:.0f} MiB exceeds max_bytes="
+            f"{max_bytes / 2**20:.0f} MiB (T={T}, b={b}, m_t={mt}); "
+            "keeping the per-iteration colored-seed linearize.",
+            stacklevel=2,
+        )
+        return None
+
     seeds = jnp.asarray(_colored_seeds(structure, n, m), dtype)
 
     def lin_cols(z0, th):
@@ -443,6 +484,8 @@ def build_affine_bands(
         return jax.vmap(lin)(seeds)
 
     cols = jax.tree.map(np.asarray, jax.jit(lin_cols)(zeros, th0))
+    if not allfinite(cols):
+        return None
     c_diag, c_lower, c_upper, c_Gy, c_Hx = cols
     if max(np.max(np.abs(c_lower)), np.max(np.abs(c_upper)), 0.0) > tol:
         return None  # cross-time quadratic coupling: not supported
@@ -483,7 +526,8 @@ def build_affine_bands(
         jax.jit(lambda z: reconstruct_bands(ab, structure, z[:n], z[n:]))(z2),
     )
     ref = jax.tree.map(np.asarray, f(z2, th1))
-    if maxdiff(rec, ref) > tol:
+    # `not (… <= tol)` so a NaN in either reconstruction or reference fails.
+    if not allfinite(rec, ref) or not (maxdiff(rec, ref) <= tol):
         return None
     return ab
 

@@ -863,9 +863,12 @@ def pallas_block_thomas(
         # tile wastes 2.5x VMEM traffic on Mosaic padding and its QR passes
         # cost ~2x more — DESIGN.md §7). Gate on a full 128-lane tile of
         # systems and the whole band block fitting VMEM comfortably.
+        # The lane-major kernel factorizes with QR only — an explicitly
+        # requested GJ/GJP tier must keep its factorization (tier semantics
+        # + numerics comparisons), so the gate applies to fact="qr" alone.
         b8 = -(-b // 8) * 8
         lanes_bytes = T * (3 * b8 + 1) * b8 * 128 * diag.dtype.itemsize
-        if B >= 128 and lanes_bytes <= 32 * 2**20:
+        if B >= 128 and lanes_bytes <= 32 * 2**20 and fact == "qr":
             mode = "lanes"
         else:
             # The two-way sweep wins where the serial chain dominates —
