@@ -394,7 +394,16 @@ def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int, fa
         x_ref[:, pl.ds(0, 1)] = x0[:, None]
 
 
-def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int):
+# Lane-major VMEM budgets: the band window streamed per grid step (Mosaic
+# double-buffers it → 2x resident) and the whole-T [C|d] scratch that must
+# stay resident for the backward substitution. 32 + 40 (+ out + QR
+# temporaries) stays under the 96 MiB scoped-VMEM limit the kernel requests.
+LANES_BAND_VMEM_BYTES = 32 * 2**20
+LANES_CD_VMEM_BYTES = 40 * 2**20
+
+
+def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int,
+                         Tc: int | None = None, C: int = 1):
     """Lane-major ("batch-on-lanes") block-Thomas sweep.
 
     The batch-major packed kernel stores each system's (b, 3b+1) block in a
@@ -413,9 +422,21 @@ def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int):
     cd_ref scratch (T, b8+1, b8, LB) holds the solved [C | d] columns.
     Blocks are identity-padded b → b8 = ⌈b/8⌉·8 host-side (decoupled rows,
     x_pad = 0).
+
+    T-TILED VARIANT (C > 1, VERDICT r2 #3): band_ref is a (Tc, W, b8, LB)
+    WINDOW streamed by the Pallas pipeline over grid dim 1 (double-buffered
+    by Mosaic), so the full T·(3b8+1)·b8·128 band never has to fit VMEM —
+    only the ~3.2x-smaller cd scratch does. Grid step (i, c) forward-
+    eliminates chunk c's rows into the full-T cd scratch; the last chunk
+    runs the whole backward substitution (cd is VMEM-resident) and writes
+    the full x output block. Extends the lane-major win from the 32 MiB
+    band gate (b=20-class) to the N=4 flagship band (T=30, b=40 → 74 MiB).
     """
     dtype = x_ref.dtype
     LB = x_ref.shape[-1]
+    if Tc is None:
+        Tc = T
+    c = pl.program_id(1) if C > 1 else 0
     eps = jnp.asarray(1e-30, dtype)
     srow = lax.broadcasted_iota(jnp.int32, (b8, LB), 0)
 
@@ -451,9 +472,10 @@ def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int):
         Lc = blk[b8 : 2 * b8]
         U = blk[2 * b8 : 3 * b8]
         r = blk[3 * b8 :]  # (1, b8, LB)
-        tp = jnp.maximum(t - 1, 0)
+        tg = c * Tc + t  # global time index (cd spans all T)
+        tp = jnp.maximum(tg - 1, 0)
         prev = jnp.where(
-            t > 0, cd_ref[pl.ds(tp, 1)][0], jnp.zeros((), dtype)
+            tg > 0, cd_ref[pl.ds(tp, 1)][0], jnp.zeros((), dtype)
         )  # (b8+1, b8, LB): [C cols | d col] of step t−1
         # L @ [C | d] in column storage: out_col_j = Σ_k L_col_k · prev[j, k]
         # (static unroll: every sublane extraction is a compile-time mask).
@@ -466,29 +488,43 @@ def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int):
         denom = D - LCd[:b8]
         rhs = jnp.concatenate([U, r - LCd[b8:]], axis=0)  # (b8+1, b8, LB)
         M = jnp.concatenate([denom, rhs], axis=0)
-        cd_ref[pl.ds(t, 1)] = qr_solve_cols(M)[None]
+        cd_ref[pl.ds(tg, 1)] = qr_solve_cols(M)[None]
         return 0
 
-    lax.fori_loop(0, T, fwd, 0, unroll=False)
+    lax.fori_loop(0, Tc, fwd, 0, unroll=False)
 
-    def bwd(i, x_next):
-        t = T - 1 - i
-        cd = cd_ref[pl.ds(t, 1)][0]  # (b8+1, b8, LB)
-        acc = cd[b8]  # d column values
-        for j in range(b8):
-            xj = jnp.sum(
-                x_next * (srow == j).astype(dtype), axis=0, keepdims=True
-            )  # (1, LB)
-            acc = acc - cd[j] * xj
-        x_ref[pl.ds(t, 1)] = acc[None]
-        return acc
+    def backward_substitute():
+        def bwd(i, x_next):
+            t = T - 1 - i
+            cd = cd_ref[pl.ds(t, 1)][0]  # (b8+1, b8, LB)
+            acc = cd[b8]  # d column values
+            for j in range(b8):
+                xj = jnp.sum(
+                    x_next * (srow == j).astype(dtype), axis=0, keepdims=True
+                )  # (1, LB)
+                acc = acc - cd[j] * xj
+            x_ref[pl.ds(t, 1)] = acc[None]
+            return acc
 
-    lax.fori_loop(0, T, bwd, jnp.zeros((b8, LB), dtype), unroll=False)
+        lax.fori_loop(0, T, bwd, jnp.zeros((b8, LB), dtype), unroll=False)
+
+    if C > 1:
+        # Only once the final chunk's forward elimination has filled cd.
+        pl.when(c == C - 1)(backward_substitute)
+    else:
+        backward_substitute()
 
 
 def _pallas_block_thomas_lanes(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
     """Lane-major dispatch: identity-pad blocks b → b8, transpose to
-    column-major batch-on-lanes storage, one grid step per 128 systems."""
+    column-major batch-on-lanes storage, one grid step per 128 systems.
+
+    When the full band block exceeds LANES_BAND_VMEM_BYTES the T axis is
+    tiled: the band streams through a double-buffered (Tc, W, b8, 128)
+    VMEM window over an inner grid dimension while the ~3.2x-smaller
+    [C|d] scratch stays resident (see _thomas_kernel_lanes, T-tiled
+    variant). T is padded to a Tc multiple with decoupled identity rows
+    (x_pad = 0, U into the padding is zero so real solutions are exact)."""
     del fact  # QR only (stability at full lane density)
     B, T, b, _ = diag.shape
     dtype = diag.dtype
@@ -509,37 +545,56 @@ def _pallas_block_thomas_lanes(diag, lower_pad, upper_pad, rhs, batch_tile, inte
         lower_pad = pad_blocks(lower_pad, zero_tail)
         upper_pad = pad_blocks(upper_pad, zero_tail)
         rhs = jnp.concatenate([rhs, jnp.zeros((B, T, p), dtype)], axis=2)
+    W = 3 * b8 + 1
+    itemsize = jnp.dtype(dtype).itemsize
+    per_t_bytes = W * b8 * LB * itemsize
+    if T * per_t_bytes <= LANES_BAND_VMEM_BYTES:
+        Tc, C = T, 1
+    else:
+        # Window sized to half the band budget (Mosaic double-buffers it).
+        Tc = max(1, (LANES_BAND_VMEM_BYTES // 2) // per_t_bytes)
+        C = -(-T // Tc)
+    if T % Tc != 0:  # pad T with decoupled identity rows
+        tp = C * Tc - T
+        eye_t = jnp.broadcast_to(jnp.eye(b8, dtype=dtype), (B, tp, b8, b8))
+        diag = jnp.concatenate([diag, eye_t], axis=1)
+        zpad = jnp.zeros((B, tp, b8, b8), dtype)
+        lower_pad = jnp.concatenate([lower_pad, zpad], axis=1)
+        upper_pad = jnp.concatenate([upper_pad, zpad], axis=1)
+        rhs = jnp.concatenate([rhs, jnp.zeros((B, tp, b8), dtype)], axis=1)
+    T_pad = C * Tc
     # Column-major batch-on-lanes: (B, T, i, j) → (T, j, i, B).
     to_cols = lambda A: jnp.transpose(A, (1, 3, 2, 0))
     band = jnp.concatenate(
         [to_cols(diag), to_cols(lower_pad), to_cols(upper_pad),
          jnp.transpose(rhs, (1, 2, 0))[:, None]],
         axis=1,
-    )  # (T, 3b8+1, b8, B)
-    W = 3 * b8 + 1
-    grid = (B // LB,)
+    )  # (T_pad, 3b8+1, b8, B)
+    grid = (B // LB, C)
     x = pl.pallas_call(
-        functools.partial(_thomas_kernel_lanes, T=T, b8=b8),
+        functools.partial(
+            _thomas_kernel_lanes, T=T_pad, b8=b8, Tc=Tc, C=C
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T, W, b8, LB), lambda i: (0, 0, 0, i),
+            pl.BlockSpec((Tc, W, b8, LB), lambda i, c: (c, 0, 0, i),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((T, b8, LB), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((T_pad, b8, LB), lambda i, c: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, b8, B), dtype),
-        scratch_shapes=[pltpu.VMEM((T, b8 + 1, b8, LB), dtype)],
+        out_shape=jax.ShapeDtypeStruct((T_pad, b8, B), dtype),
+        scratch_shapes=[pltpu.VMEM((T_pad, b8 + 1, b8, LB), dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=B * T * (2 * b8**3 + 6 * b8**3),
-            bytes_accessed=B * T * b8 * W * 4 * 2,
-            transcendentals=B * T * b8,
+            flops=B * T_pad * (2 * b8**3 + 6 * b8**3),
+            bytes_accessed=B * T_pad * b8 * W * 4 * 2,
+            transcendentals=B * T_pad * b8,
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=96 * 2**20
         ),
         interpret=interpret,
     )(band)
-    return jnp.transpose(x, (2, 0, 1))[:, :, :b]
+    return jnp.transpose(x, (2, 0, 1))[:B, :T, :b]
 
 
 def _eye_like(TB: int, b: int, dtype):
@@ -862,13 +917,16 @@ def pallas_block_thomas(
         # solves/s end-to-end (identical iterates; the batch-major packed
         # tile wastes 2.5x VMEM traffic on Mosaic padding and its QR passes
         # cost ~2x more — DESIGN.md §7). Gate on a full 128-lane tile of
-        # systems and the whole band block fitting VMEM comfortably.
+        # systems and the [C|d] scratch fitting VMEM — the band itself no
+        # longer has to: past LANES_BAND_VMEM_BYTES it streams through a
+        # double-buffered T-window (T-tiled variant, VERDICT r2 #3), which
+        # admits the N=4 flagship band (T=30, b=40 → 74 MiB).
         # The lane-major kernel factorizes with QR only — an explicitly
         # requested GJ/GJP tier must keep its factorization (tier semantics
         # + numerics comparisons), so the gate applies to fact="qr" alone.
         b8 = -(-b // 8) * 8
-        lanes_bytes = T * (3 * b8 + 1) * b8 * 128 * diag.dtype.itemsize
-        if B >= 128 and lanes_bytes <= 32 * 2**20 and fact == "qr":
+        cd_bytes = T * (b8 + 1) * b8 * 128 * diag.dtype.itemsize
+        if B >= 128 and cd_bytes <= LANES_CD_VMEM_BYTES and fact == "qr":
             mode = "lanes"
         else:
             # The two-way sweep wins where the serial chain dominates —

@@ -151,6 +151,31 @@ class TestPallasThomas:
         x = pallas_block_thomas(diag, lower, upper, rhs, mode="lanes")
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-4)
 
+    @pytest.mark.parametrize("T", [30, 7, 33])
+    def test_lane_major_t_tiled_matches_untiled(self, T, monkeypatch):
+        """T-tiled lane-major streaming (band window over an inner grid dim,
+        VERDICT r2 #3): forcing a tiny band budget must reproduce the
+        untiled kernel bit-for-bit, including T % Tc != 0 identity padding."""
+        from mcp_tpu.kernels import thomas_pallas
+
+        B, b = 4, 12
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(50 + T), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b), f32)
+        x_untiled = thomas_pallas.pallas_block_thomas(
+            diag, lower, upper, rhs, mode="lanes"
+        )
+        # Budget of 4 time-steps' band bytes → Tc=2 after double-buffer halving.
+        per_t = (3 * 16 + 1) * 16 * 128 * 4
+        monkeypatch.setattr(thomas_pallas, "LANES_BAND_VMEM_BYTES", 4 * per_t)
+        x_tiled = thomas_pallas.pallas_block_thomas(
+            diag, lower, upper, rhs, mode="lanes"
+        )
+        np.testing.assert_array_equal(np.asarray(x_tiled), np.asarray(x_untiled))
+
     def test_gjp_pivoting_handles_zero_leading_pivot(self):
         """A block whose (0,0) entry is zero breaks pivot-free elimination;
         partial pivoting must still solve it."""
