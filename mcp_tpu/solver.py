@@ -231,6 +231,14 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import crgjp_thomas_solve
 
         return crgjp_thomas_solve
+    if options.linear_solver == "tridiag_pallas_gjpr":
+        from .kernels.thomas_pallas import gjpr_thomas_solve
+
+        return gjpr_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjpr":
+        from .kernels.thomas_pallas import crgjpr_thomas_solve
+
+        return crgjpr_thomas_solve
     if options.linear_solver == "tridiag_pallas_lanes":
         from .kernels.thomas_pallas import lanes_thomas_solve
 
@@ -251,6 +259,8 @@ _TRIDIAG_TIERS = (
     "tridiag_pallas_gjp",
     "tridiag_pallas_crgj",
     "tridiag_pallas_crgjp",
+    "tridiag_pallas_gjpr",
+    "tridiag_pallas_crgjpr",
     "tridiag_pallas_lanes",
     "tridiag_auto",
 )

@@ -216,6 +216,77 @@ class TestPallasThomas:
         np.testing.assert_allclose(np.asarray(gjp.x), np.asarray(ref.x), atol=5e-3)
         assert float(jnp.max(gjp.kkt_error)) < 1e-3
 
+    @pytest.mark.parametrize("shape", [(3, 8, 12, 25), (2, 5, 20, 41), (1, 16, 8, 17)])
+    def test_multi_rhs_kernel_matches_xla(self, shape):
+        """Fused multi-RHS sweep (the SPIKE local slab kernel, VERDICT r2
+        #5): must match block_thomas_solve_multi for k = 2b+1-class column
+        counts, batched and single."""
+        from mcp_tpu.kernels.block_tridiag import block_thomas_solve_multi
+        from mcp_tpu.kernels.thomas_pallas import (
+            pallas_block_thomas_multi,
+            thomas_solve_multi,
+        )
+
+        B, T, b, k = shape
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(b + k), 4)
+        f32 = jnp.float32
+        diag = jax.random.normal(k1, (B, T, b, b), f32) + 6 * jnp.eye(b, dtype=f32)
+        lower = 0.3 * jax.random.normal(k2, (B, T - 1, b, b), f32)
+        upper = 0.3 * jax.random.normal(k3, (B, T - 1, b, b), f32)
+        rhs = jax.random.normal(k4, (B, T, b, k), f32)
+        x_ref = jax.vmap(block_thomas_solve_multi)(diag, lower, upper, rhs)
+        x = pallas_block_thomas_multi(diag, lower, upper, rhs)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=2e-4)
+        x_v = jax.jit(jax.vmap(thomas_solve_multi))(diag, lower, upper, rhs)
+        np.testing.assert_allclose(np.asarray(x_v), np.asarray(x_ref), atol=2e-4)
+        x_1 = thomas_solve_multi(diag[0], lower[0], upper[0], rhs[0])
+        np.testing.assert_allclose(np.asarray(x_1), np.asarray(x_ref[0]), atol=2e-4)
+
+    def test_gjpr_refinement_cancels_pivot_growth(self):
+        """The refined pivoted Gauss–Jordan (gjpr, VERDICT r2 #4) must land
+        QR-class residuals on blocks with severe row-scale spread (the IP
+        near-boundary S/Y regime where plain gjp's envelope blows up)."""
+        from mcp_tpu.kernels.thomas_pallas import (
+            _gjp_solve_aug,
+            _gjpr_solve_aug,
+            _qr_solve_aug,
+        )
+
+        TB, b = 64, 20
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        f32 = jnp.float32
+        A = jax.random.normal(k1, (TB, b, b), f32)
+        A = A * 10.0 ** jax.random.uniform(k2, (TB, b, 1), minval=-3, maxval=3)
+        N = jax.random.normal(k3, (TB, b, 5), f32)
+        M = jnp.concatenate([A, N], axis=2)
+
+        def max_rel_residual(X):
+            R = N - jnp.einsum("bij,bjk->bik", A, X)
+            return float(jnp.max(jnp.abs(R)) / jnp.max(jnp.abs(N)))
+
+        r_qr = max_rel_residual(_qr_solve_aug(M, b=b))
+        r_gjp = max_rel_residual(_gjp_solve_aug(M, b=b))
+        r_gjpr = max_rel_residual(_gjpr_solve_aug(M, b=b))
+        assert r_gjp > 10 * r_qr  # the problem actually exercises the envelope
+        assert r_gjpr < 3 * r_qr  # refinement restores QR-class accuracy
+
+    @pytest.mark.parametrize("tier", ["tridiag_pallas_gjpr", "tridiag_pallas_crgjpr"])
+    def test_gjpr_tier_full_solve(self, tier):
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        th = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        ref = solve_batch(mcp, th, options=SolverOptions(linear_solver="tridiag_pallas"))
+        out = solve_batch(mcp, th, options=SolverOptions(linear_solver=tier))
+        np.testing.assert_array_equal(np.asarray(out.status), np.asarray(ref.status))
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=5e-3)
+        assert float(jnp.max(out.kkt_error)) < 1e-3
+
     def test_lanes_tier_full_solve(self):
         """tridiag_pallas_lanes end-to-end IP solve parity with tridiag_pallas."""
         from mcp_tpu.bench import lane_change as lc
