@@ -86,16 +86,19 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    try:  # persistent compile cache: the 5-20 min tunnel compiles amortize
-        import os
+    else:
+        try:  # persistent compile cache: the 5-20 min tunnel compiles amortize
+            import os
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"
+                ),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from mcp_tpu.bench import harness

@@ -48,9 +48,13 @@ def setup_road_environment(
     )
 
 
-def setup_trajectory_game(*, environment: PolygonEnvironment) -> TrajectoryGame:
+def setup_trajectory_game(
+    *, environment: PolygonEnvironment, state_bounds=None
+) -> TrajectoryGame:
     """Costs, collision coupling, and bounded double-integrator dynamics
-    (lane_change.jl:15-55)."""
+    (lane_change.jl:15-55). ``state_bounds`` overrides the fork's ±10 m/s
+    velocity box (the pre-fork origin demo used ±5/0..5,
+    lane_change_origin.jl:62)."""
 
     def make_stage_cost(i):
         def stage_cost(xs, us, t, theta_i):
@@ -75,8 +79,13 @@ def setup_trajectory_game(*, environment: PolygonEnvironment) -> TrajectoryGame:
         d = xs[0][:, :2] - xs[1][:, :2]
         return jnp.sum(d * d, axis=1) - 4.0
 
+    if state_bounds is None:
+        state_bounds = {
+            "lb": [-jnp.inf, -jnp.inf, -10.0, 0.0],
+            "ub": [jnp.inf, jnp.inf, 10.0, 10.0],
+        }
     agent_dynamics = planar_double_integrator(
-        state_bounds={"lb": [-jnp.inf, -jnp.inf, -10.0, 0.0], "ub": [jnp.inf, jnp.inf, 10.0, 10.0]},
+        state_bounds=state_bounds,
         control_bounds={"lb": [-5.0, -5.0], "ub": [3.0, 3.0]},
     )
     dynamics = ProductDynamics([agent_dynamics, agent_dynamics])
@@ -90,12 +99,15 @@ def setup_trajectory_game(*, environment: PolygonEnvironment) -> TrajectoryGame:
 
 
 def build_lane_change_game(
-    *, horizon: int = 10, num_lanes: int = 2, lane_width: float = 2.0, height: float = 50.0
+    *, horizon: int = 10, num_lanes: int = 2, lane_width: float = 2.0,
+    height: float = 50.0, state_bounds=None,
 ) -> tuple[TrajectoryGame, ParametricGame, RoadEnvironment]:
     road = setup_road_environment(
         lane_width=lane_width, num_lanes=num_lanes, height=height
     )
-    game = setup_trajectory_game(environment=road.environment)
+    game = setup_trajectory_game(
+        environment=road.environment, state_bounds=state_bounds
+    )
     parametric_game = build_parametric_game(
         game=game, horizon=horizon, params_per_player=1
     )
@@ -130,6 +142,46 @@ def run_lane_change_example(
         parametric_game=parametric_game,
         turn_length=turn_length,
         horizon=horizon,
+        parameters=lane_preferences,
+        options=options,
+    )
+    sim = rollout(
+        game.dynamics,
+        strategy,
+        initial_state,
+        num_sim_steps,
+        get_info=lambda strat, x, t: strat.solution_status,
+    )
+    return sim, strategy
+
+
+def run_lane_change_origin_example(
+    *, num_sim_steps: int = 150, options: Optional[SolverOptions] = None
+):
+    """The PRE-FORK lane-change demo (reference examples/lane_change_origin.jl)
+    — identical game to `run_lane_change_example` except: tighter velocity
+    box (±5 m/s lateral, 0–5 m/s forward; lane_change_origin.jl:62), 150 sim
+    steps with re-plan every 3 (:73, :91), and no gradient probe inside the
+    receding-horizon solve (the probe is the fork's addition,
+    examples/utils.jl:237-263). The debug `println`s of the original are
+    deliberately not replicated."""
+    game, parametric_game, road = build_lane_change_game(
+        horizon=10,
+        state_bounds={
+            "lb": [-jnp.inf, -jnp.inf, -5.0, 0.0],
+            "ub": [jnp.inf, jnp.inf, 5.0, 5.0],
+        },
+    )
+    initial_state = jnp.array([1.0, 1.0, 0.0, 1.0, 3.2, 0.9, 0.0, 1.0])
+    lane_preferences = [
+        jnp.array([road.lane_centers[0]]),
+        jnp.array([road.lane_centers[0]]),
+    ]
+    strategy = WarmStartRecedingHorizonStrategy(
+        game=game,
+        parametric_game=parametric_game,
+        turn_length=3,
+        horizon=10,
         parameters=lane_preferences,
         options=options,
     )

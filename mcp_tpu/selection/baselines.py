@@ -246,3 +246,45 @@ def mask_computation(
         return _top_k_mask(-scores, int(mode_parameter), largest=True)
 
     raise ValueError(f"Invalid mode: {mode}")
+
+
+def masks_from_ground_truth_dump(
+    path: str,
+    *,
+    ego_index: Optional[int] = None,
+    threshold: float = 4.0,
+    num_neighbors: int = 3,
+):
+    """Standalone mask probe over a saved ground-truth scenario dump — the
+    port of the reference's one-off `examples/baseline.jl` driver (:1-62):
+    load one simulation-results JSON, take the FIRST recorded step's
+    positions, and compute (a) the distance-threshold mask (baseline.jl:21-34)
+    and (b) the `num_neighbors`-nearest-neighbor mask (:36-58). Masks are
+    full N-vectors with the ego entry always 1, as in the original (vs the
+    (N-1)-sized ego masks of `mask_computation`). Reads this framework's
+    dump schema (scripts/datagen.py: trajectories (N, T, 4), ego_index)
+    rather than the reference's per-player JSON keys.
+    """
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    traj = np.asarray(data["trajectories"])  # (N, T, 4)
+    N = traj.shape[0]
+    ego = int(data.get("ego_index", 0)) if ego_index is None else int(ego_index)
+    pos0 = traj[:, 0, :2]  # first sim step, as baseline.jl:14 ("only first")
+    dists = np.linalg.norm(pos0 - pos0[ego], axis=1)
+
+    dist_mask = np.zeros(N)
+    dist_mask[ego] = 1.0
+    dist_mask[(dists < threshold) & (np.arange(N) != ego)] = 1.0
+
+    nn_mask = np.zeros(N)
+    nn_mask[ego] = 1.0
+    d = dists.copy()
+    d[ego] = 0.0  # the original includes ego's zero distance in the top-k loop
+    for _ in range(int(num_neighbors)):
+        j = int(np.argmin(d))
+        nn_mask[j] = 1.0
+        d[j] = np.inf
+    return {"distance_threshold": dist_mask, "nearest_neighbors": nn_mask}

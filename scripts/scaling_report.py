@@ -66,27 +66,49 @@ def main():
         os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
 
     import jax
+
+    if args.chip:
+        try:  # persistent compile cache (same dir as bench.py; TPU runs only
+            # — the CPU AOT cache complains across machine-feature changes)
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                             ".jax_cache_tpu"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from mcp_tpu.bench import lane_change as lc
     from mcp_tpu.parallel.mesh import make_batch_mesh
+    from mcp_tpu.solver import SolverOptions
 
     bench = lc.generate_test_problem(horizon=10)
     mcp = bench.parametric_game.mcp
     key = jax.random.PRNGKey(1)
 
+    # The bench.py DEFAULT configuration (round 3: certified headline —
+    # polish + tuned schedule + lane-major auto-select inside
+    # tridiag_pallas); keep in sync with bench.py's defaults.
+    headline_options = SolverOptions(
+        linear_solver="tridiag_pallas", polish=True, tightening_rate=0.02
+    )
+
     rows = []
     if args.chip:
         # One device needs no shard_map (and compile through the tunnel is
         # slow) — time the plain batched solve, same program as bench.py.
-        import numpy as np
-
         from mcp_tpu.bench.harness import benchmark_batched
 
         B = 256  # the bench.py headline batch (measured optimum)
         thetas = lc.generate_parameter_batch(key, B, bench, dtype=jnp.float32)
-        # The bench.py headline configuration: fused Pallas block-Thomas tier.
-        stats = benchmark_batched(mcp, thetas, linear_solver="tridiag_pallas")
+        sampler = lambda i: lc.generate_parameter_batch(
+            jax.random.fold_in(key, 1 + i), B, bench, dtype=jnp.float32
+        )
+        stats = benchmark_batched(
+            mcp, thetas, options=headline_options, theta_sampler=sampler
+        )
         rows.append(
             {
                 "devices": 1,
@@ -95,6 +117,9 @@ def main():
                 "median_outer_iters": stats["median_outer_iters"],
                 "success_rate": stats["success_rate"],
                 "true_kkt_max": stats["true_kkt_max"],
+                "frac_true_kkt_at_tol": stats["frac_true_kkt_at_tol"],
+                "certified": True,
+                "timing_consistent": stats.get("timing_consistent"),
                 "topology": "1 chip (real TPU v5e)",
             }
         )
@@ -110,6 +135,42 @@ def main():
                 "efficiency of the sharded program only, NOT TPU throughput)"
             )
             rows.append(row)
+        # Composed dp × sp (horizon) topology: 4 batch groups × 2-device
+        # horizon teams on the same 8 virtual devices (BASELINE.md scaling
+        # deliverable; the production shape for games too large per chip).
+        import numpy as np
+
+        from mcp_tpu.parallel.horizon import (
+            make_dp_horizon_mesh,
+            solve_batch_horizon_sharded,
+        )
+
+        dp, sp = 4, 2
+        mesh2 = make_dp_horizon_mesh(dp, sp, all_devices)
+        B = args.batch_per_device * dp
+        thetas = lc.generate_parameter_batch(key, B, bench, dtype=jnp.float32)
+        result = solve_batch_horizon_sharded(mcp, thetas, mesh=mesh2)
+        jax.block_until_ready(result.x)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            result = solve_batch_horizon_sharded(mcp, thetas, mesh=mesh2)
+            jax.block_until_ready(result.x)
+            times.append(time.perf_counter() - t0)
+        rows.append(
+            {
+                "devices": dp * sp,
+                "batch": int(B),
+                "solves_per_sec": B / float(np.median(times)),
+                "median_outer_iters": float(np.median(np.asarray(result.outer_iters))),
+                "success_rate": float(np.mean(np.asarray(result.status) == 0)),
+                "topology": (
+                    f"dp{dp} x sp{sp} 2-D mesh (8 virtual CPU devices — batch "
+                    "groups of SPIKE horizon-sharded teams; correctness/"
+                    "parallel-efficiency only, NOT TPU throughput)"
+                ),
+            }
+        )
 
     report = {"rows": rows}
     with open(args.out, "w") as f:

@@ -41,14 +41,15 @@ import jax
 
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
-try:  # persistent compile cache: amortizes the 5-20 min tunnel compiles
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+else:
+    try:  # persistent compile cache: amortizes the 5-20 min tunnel compiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 import jax.numpy as jnp
 import numpy as np

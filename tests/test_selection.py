@@ -146,6 +146,29 @@ class TestBaselines:
         controls = [np.zeros(2), np.array([0.5, 0.0]), np.zeros(2)]
         return t1, controls
 
+    def test_masks_from_ground_truth_dump(self, tmp_path):
+        """baseline.jl port: distance-threshold + k-NN masks off a dump's
+        first step (reference examples/baseline.jl:21-58)."""
+        import json
+
+        from mcp_tpu.selection.baselines import masks_from_ground_truth_dump
+
+        # 4 players: ego at origin, one near (d=1), two far (d=10, 20).
+        traj = np.zeros((4, 3, 4))
+        traj[1, 0, :2] = [1.0, 0.0]
+        traj[2, 0, :2] = [10.0, 0.0]
+        traj[3, 0, :2] = [0.0, 20.0]
+        traj[:, 1:, :2] = 99.0  # later steps must be ignored (first-step only)
+        p = tmp_path / "simulation_results_0.json"
+        p.write_text(
+            json.dumps({"trajectories": traj.tolist(), "ego_index": 0})
+        )
+        out = masks_from_ground_truth_dump(str(p), threshold=4.0, num_neighbors=2)
+        np.testing.assert_array_equal(out["distance_threshold"], [1, 1, 0, 0])
+        # k-NN with num_neighbors=2: ego's own zero distance consumes one
+        # pick (the reference's loop quirk), so ego + nearest other.
+        np.testing.assert_array_equal(out["nearest_neighbors"], [1, 1, 0, 0])
+
     def test_all_mode(self):
         traj, ctrl = self.make_history()
         assert mask_computation(None, traj, ctrl, "All", 1, 1).tolist() == [1.0, 1.0]
