@@ -28,18 +28,22 @@ class LaneChangeBenchmark(NamedTuple):
     horizon: int
 
 
-def generate_test_problem(*, horizon: int = 10) -> LaneChangeBenchmark:
+def generate_test_problem(
+    *, horizon: int = 10, height: float = 50.0
+) -> LaneChangeBenchmark:
     """Build (once per horizon) the benchmark problem. Cached: the build
     costs ~20 s of tracing + banded-structure validation, every field of the
     result is immutable, and reusing the instance lets the solver's jit
     cache hit across callers — rebuilding it 16x was a third of the test
-    suite's wall-clock."""
-    return _build_test_problem(horizon)
+    suite's wall-clock. ``height`` scales the road for long horizons (a
+    T-step game at the 2 m/s nominal speed travels 2T m; the default 50 m
+    road makes horizons ≥ ~25 infeasible)."""
+    return _build_test_problem(horizon, height)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_test_problem(horizon: int) -> LaneChangeBenchmark:
-    game, pg, road = build_lane_change_game(horizon=horizon)
+def _build_test_problem(horizon: int, height: float = 50.0) -> LaneChangeBenchmark:
+    game, pg, road = build_lane_change_game(horizon=horizon, height=height)
     return LaneChangeBenchmark(
         game=game,
         parametric_game=pg,

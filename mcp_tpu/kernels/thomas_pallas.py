@@ -1236,12 +1236,23 @@ def _pallas_block_thomas_padded(diag, lower_pad, upper_pad, rhs, batch_tile, int
 # iterations at N=10 (success 1.0).
 PALLAS_THOMAS_MAX_BLOCK = 64
 
+# Long-chain stability cliff (measured, round 3): the sequential block-Thomas
+# sweep is block LU WITHOUT inter-block pivoting, and on the T=64 lane-change
+# KKT systems its elimination growth stalls the IP loop (kkt plateaus ~1e2
+# in f64) while cyclic reduction — a different elimination order over the
+# same bands — matches the dense tier (24 outer iterations). T=48 chains are
+# fine; the auto tier switches to CR at the first measured failing length.
+PALLAS_THOMAS_CR_MIN_T = 64
+
 
 def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
-    """Block-size-aware Thomas solve: fused Pallas sweep (QR) for small
-    blocks, in-kernel cyclic reduction (pivoted Gauss–Jordan) for large
-    ones (see crossover notes above)."""
+    """Shape-aware Thomas solve: fused Pallas sweep (QR) for small blocks
+    and short-to-moderate horizons, in-kernel cyclic reduction for long
+    chains (sweep elimination growth, see PALLAS_THOMAS_CR_MIN_T) and for
+    large blocks (pivoted Gauss–Jordan; see crossover notes above)."""
     if diag.shape[-1] <= PALLAS_THOMAS_MAX_BLOCK:
+        if diag.shape[-3] >= PALLAS_THOMAS_CR_MIN_T:
+            return cr_thomas_solve(diag, lower, upper, rhs)
         return thomas_solve(diag, lower, upper, rhs)
     return crgjp_thomas_solve(diag, lower, upper, rhs)
 
