@@ -51,6 +51,10 @@ def main() -> None:
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--tol", type=float, default=1e-4)
+    # f64 solves (reference QP protocol runs tol 1e-6, benchmark/path.jl:8;
+    # f32 floors at ~6e-6 true residual). TPUs emulate f64 — pair with
+    # --cpu for the honest reference-protocol row.
+    parser.add_argument("--x64", action="store_true")
     # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
     # (affine-bands/colored-seed banded assembly + the fused whole-batch
     # Pallas block-Thomas, kernels/thomas_pallas.py; auto-selects the
@@ -99,6 +103,8 @@ def main() -> None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from mcp_tpu.bench import harness
@@ -106,6 +112,7 @@ def main() -> None:
 
     batch = 16 if args.quick else args.batch
     key = jax.random.PRNGKey(1)  # seeded like path.jl:14 (MersenneTwister(1))
+    dtype = jnp.float64 if args.x64 else jnp.float32
     if args.suite == "qp":
         # Reference protocol: 100 random sparse convex QPs, 100 primals +
         # 100 inequalities, sparsity 0.9 (benchmark/path.jl:5-17).
@@ -113,9 +120,9 @@ def main() -> None:
 
         problem = qp.generate_test_problem()
         mcp = problem.mcp
-        thetas = qp.generate_parameter_batch(key, batch, dtype=jnp.float32)
+        thetas = qp.generate_parameter_batch(key, batch, dtype=dtype)
         theta_sampler = lambda i: qp.generate_parameter_batch(
-            jax.random.fold_in(key, 1 + i), batch, dtype=jnp.float32
+            jax.random.fold_in(key, 1 + i), batch, dtype=dtype
         )
         metric_name = "qp_mcp_solves_per_sec"
         if args.tier.startswith("tridiag"):
@@ -128,9 +135,9 @@ def main() -> None:
     else:
         bench = lc.generate_test_problem(horizon=10)
         mcp = bench.parametric_game.mcp
-        thetas = lc.generate_parameter_batch(key, batch, bench, dtype=jnp.float32)
+        thetas = lc.generate_parameter_batch(key, batch, bench, dtype=dtype)
         theta_sampler = lambda i: lc.generate_parameter_batch(
-            jax.random.fold_in(key, 1 + i), batch, bench, dtype=jnp.float32
+            jax.random.fold_in(key, 1 + i), batch, bench, dtype=dtype
         )
         metric_name = "lane_change_mcp_solves_per_sec"
 
