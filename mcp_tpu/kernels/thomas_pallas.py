@@ -1130,7 +1130,13 @@ def pallas_block_thomas(
         # + numerics comparisons), so the gate applies to fact="qr" alone.
         b8 = -(-b // 8) * 8
         cd_bytes = T * (b8 + 1) * b8 * 128 * diag.dtype.itemsize
-        if B >= 128 and cd_bytes <= LANES_CD_VMEM_BYTES and fact == "qr":
+        if T >= PALLAS_THOMAS_CR_MIN_T:
+            # Every sweep variant (oneway/babe/lanes) is block LU without
+            # inter-block pivoting; long chains hit elimination growth
+            # (measured stall at T=64 — see PALLAS_THOMAS_CR_MIN_T). CR's
+            # elimination order is stable there and honors `fact`.
+            mode = "cr"
+        elif B >= 128 and cd_bytes <= LANES_CD_VMEM_BYTES and fact == "qr":
             mode = "lanes"
         else:
             # The two-way sweep wins where the serial chain dominates —
