@@ -184,20 +184,36 @@ def ip_solve(
     y0: Array,
     s0: Array,
     tridiag_solver=None,
+    newton_solver=None,
 ) -> SolveResult:
     """One interior-point solve. Pure, shape-static, vmap-able over
     (theta, x0, y0, s0). Not differentiable — use diff.solve for that.
     ``tridiag_solver`` optionally overrides the block-tridiagonal backend
-    with a callable (e.g. the horizon-sharded SPIKE solve)."""
+    with a callable (e.g. the horizon-sharded SPIKE solve);
+    ``newton_solver`` overrides the whole non-tridiag Newton step with a
+    callable of the NEWTON_STEPS signature
+    (Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg) -> (dx, dy, ds) — e.g. the
+    tensor-parallel sharded factorization (parallel/tensor.py)."""
     with jax.default_matmul_precision(options.matmul_precision):
         if options.algorithm == "mehrotra":
+            if newton_solver is not None:
+                raise NotImplementedError(
+                    "newton_solver override currently supports algorithm='ip'"
+                )
             return _mehrotra_solve_body(
                 mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver
             )
         if options.algorithm != "ip":
             raise ValueError(f"unknown algorithm {options.algorithm!r}")
         return _ip_solve_body(
-            mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver
+            mcp,
+            options,
+            theta,
+            x0,
+            y0,
+            s0,
+            tridiag_solver=tridiag_solver,
+            newton_solver=newton_solver,
         )
 
 
@@ -274,6 +290,7 @@ def _ip_solve_body(
     y0: Array,
     s0: Array,
     tridiag_solver=None,
+    newton_solver=None,
 ) -> SolveResult:
     tridiag_family = options.linear_solver in _TRIDIAG_TIERS
     if tridiag_family and mcp.time_structure is None:
@@ -299,6 +316,11 @@ def _ip_solve_body(
             structure=mcp.time_structure,
             algorithm=tridiag_algorithm,
         )
+    elif newton_solver is not None:
+        # Injected Newton-step backend (e.g. the tensor-parallel sharded
+        # factorization, parallel/tensor.py); same signature as the
+        # NEWTON_STEPS entries. The polish loop below reuses it too.
+        newton_step = newton_solver
     elif not tridiag_family:
         newton_step = NEWTON_STEPS[options.linear_solver]
         if options.linear_solver == "gmres":
