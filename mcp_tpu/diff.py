@@ -40,24 +40,48 @@ from .types import SolveResult, zeros_tangent
 Array = jax.Array
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0, 1, 2, 3))
 def _solve_ts(
-    mcp: PrimalDualMCP, options: SolverOptions, tridiag_solver, theta, x0, y0, s0
+    mcp: PrimalDualMCP,
+    options: SolverOptions,
+    tridiag_solver,
+    newton_solver,
+    theta,
+    x0,
+    y0,
+    s0,
 ):
-    """Differentiable solve with an optional block-tridiagonal backend
-    override (a callable, e.g. the horizon-sharded SPIKE solve from
-    parallel/horizon.py) used for BOTH the Newton factorizations and the
-    IFT sensitivity solves."""
-    return ip_solve(mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver)
+    """Differentiable solve with optional backend overrides, used for BOTH
+    the Newton factorizations and the IFT sensitivity solves:
+    ``tridiag_solver`` — block-tridiagonal callable (e.g. the
+    horizon-sharded SPIKE solve, parallel/horizon.py); ``newton_solver`` —
+    whole-Newton-step callable (e.g. the tensor-parallel backend,
+    parallel/tensor.py; if it exposes ``ift_solve``/``ift_solve_t``, the
+    condensed IFT core solves are distributed too)."""
+    return ip_solve(
+        mcp,
+        options,
+        theta,
+        x0,
+        y0,
+        s0,
+        tridiag_solver=tridiag_solver,
+        newton_solver=newton_solver,
+    )
 
 
 def _solve(mcp: PrimalDualMCP, options: SolverOptions, theta, x0, y0, s0):
-    return _solve_ts(mcp, options, None, theta, x0, y0, s0)
+    return _solve_ts(mcp, options, None, None, theta, x0, y0, s0)
 
 
 @_solve_ts.defjvp
 def _solve_jvp(
-    mcp: PrimalDualMCP, options: SolverOptions, tridiag_solver, primals, tangents
+    mcp: PrimalDualMCP,
+    options: SolverOptions,
+    tridiag_solver,
+    newton_solver,
+    primals,
+    tangents,
 ):
     if not mcp.compute_sensitivities:
         # API-parity error path (reference src/AutoDiff.jl:19-23).
@@ -70,7 +94,16 @@ def _solve_jvp(
     # Warm starts get no tangent, matching the reference rrule's NoTangent
     # treatment of non-θ arguments (src/AutoDiff.jl:53-57).
 
-    sol = ip_solve(mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver)
+    sol = ip_solve(
+        mcp,
+        options,
+        theta,
+        x0,
+        y0,
+        s0,
+        tridiag_solver=tridiag_solver,
+        newton_solver=newton_solver,
+    )
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
 
     sens = options.sensitivity_solver
@@ -118,6 +151,11 @@ def _solve_jvp(
             AT_solve = lambda rhs: tridiag_solve_permuted(
                 A.T, rhs, mcp.time_structure
             )
+        elif hasattr(newton_solver, "ift_solve"):
+            # Distributed IFT core solves (e.g. the tensor-parallel sharded
+            # LU) — the backward pass rides the same mesh as the forward.
+            A_solve = lambda rhs: newton_solver.ift_solve(A, rhs)
+            AT_solve = lambda rhs: newton_solver.ift_solve_t(A, rhs)
         else:
             A_solve = lambda rhs: jnp.linalg.solve(A, rhs)
             AT_solve = lambda rhs: jnp.linalg.solve(A.T, rhs)

@@ -227,7 +227,7 @@ def _sharded_ip_solver(mcp, options, mesh: Mesh, axis_name: str):
     def replicated(theta, x0, y0, s0):
         # _solve_ts: differentiable (IFT custom_jvp) with every Newton AND
         # sensitivity block-tridiagonal solve SPIKE-distributed over the mesh.
-        return _solve_ts(mcp, options, solver_fn, theta, x0, y0, s0)
+        return _solve_ts(mcp, options, solver_fn, None, theta, x0, y0, s0)
 
     rep = P()
     fn = jax.shard_map(
@@ -355,7 +355,7 @@ def _sharded_batch_ip_solver(
         # is unrelated to the gathered interface axis. Differentiable (IFT
         # custom_jvp with the sensitivity solves SPIKE-distributed too).
         return jax.vmap(
-            lambda t, x, y, s: _solve_ts(mcp, options, solver_fn, t, x, y, s)
+            lambda t, x, y, s: _solve_ts(mcp, options, solver_fn, None, t, x, y, s)
         )(thetas, x0, y0, s0)
 
     bspec = P(batch_axis)

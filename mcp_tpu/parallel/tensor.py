@@ -51,7 +51,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..mcp import PrimalDualMCP
-from ..solver import SolverOptions, ip_solve
+from ..solver import SolverOptions
 from ..types import SolveResult
 
 Array = jax.Array
@@ -260,16 +260,42 @@ def lu_solve_tp(
     return x[:n]
 
 
-def make_newton_step_condensed_tp(
-    *, axis_name: str = TP_AXIS, num_devices: int, panel: int = 64
-):
-    """A `newton_solver` for solver.ip_solve — call INSIDE shard_map with
-    replicated operands: assembles the condensed (n+m) system (exactly
-    linalg.newton_step_condensed) and solves it with the column-sharded LU.
-    Assembly is replicated (cheap relative to the O(k³) factorization);
-    only the factorization itself is distributed."""
+class TPNewtonBackend:
+    """`newton_solver` backend for solver.ip_solve / diff._solve_ts — call
+    INSIDE shard_map with replicated operands.
 
-    def newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
+    As a callable it is the Newton step: assembles the condensed (n+m)
+    system (exactly linalg.newton_step_condensed) replicated — cheap
+    relative to the O(k³) factorization — and solves it with the
+    column-sharded LU. `ift_solve`/`ift_solve_t` additionally distribute
+    the IFT sensitivity core solves (diff.py condensed branch), so the
+    backward pass rides the same mesh as the forward."""
+
+    def __init__(
+        self, *, axis_name: str = TP_AXIS, num_devices: int, panel: int = 64
+    ):
+        self.axis_name = axis_name
+        self.num_devices = num_devices
+        self.panel = panel
+
+    def _sharded_solve(self, A: Array, rhs: Array) -> Array:
+        """Column-shard the replicated (k, k) system and run the
+        distributed LU; returns the replicated solution."""
+        k = A.shape[0]
+        k_pad = padded_dimension(k, self.num_devices, self.panel)
+        A_pad, rhs_pad = _embed_padded(A, rhs, k_pad)
+        C = k_pad // self.num_devices
+        idx = lax.axis_index(self.axis_name).astype(jnp.int32)
+        A_loc = lax.dynamic_slice(A_pad, (jnp.int32(0), idx * C), (k_pad, C))
+        return lu_solve_tp_local(
+            A_loc,
+            rhs_pad,
+            axis_name=self.axis_name,
+            num_devices=self.num_devices,
+            panel=self.panel,
+        )[:k]
+
+    def __call__(self, Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
         n, m = rG.shape[0], rH.shape[0]
         dtype = Gx.dtype
         d = 1.0 / (y + reg)
@@ -280,21 +306,32 @@ def make_newton_step_condensed_tp(
             ]
         )
         rhs = jnp.concatenate([-rG, -rH - d * rC])
-        k = n + m
-        k_pad = padded_dimension(k, num_devices, panel)
-        A_pad, rhs_pad = _embed_padded(A, rhs, k_pad)
-        C = k_pad // num_devices
-        idx = lax.axis_index(axis_name)
-        A_loc = lax.dynamic_slice(A_pad, (jnp.int32(0), idx.astype(jnp.int32) * C), (k_pad, C))
-        dxy = lu_solve_tp_local(
-            A_loc, rhs_pad, axis_name=axis_name,
-            num_devices=num_devices, panel=panel,
-        )[:k]
+        dxy = self._sharded_solve(A, rhs)
         dx, dy = dxy[:n], dxy[n:]
         ds = -(rC + s * dy) * d
         return dx, dy, ds
 
-    return newton_step
+    def ift_solve(self, A: Array, rhs: Array) -> Array:
+        return self._sharded_solve(A, rhs)
+
+    def ift_solve_t(self, A: Array, rhs: Array) -> Array:
+        return self._sharded_solve(A.T, rhs)
+
+
+@functools.lru_cache(maxsize=None)
+def _tp_backend(axis_name: str, num_devices: int, panel: int) -> TPNewtonBackend:
+    # One instance per config: custom_jvp nondiff args and the jit caches
+    # key on object identity.
+    return TPNewtonBackend(
+        axis_name=axis_name, num_devices=num_devices, panel=panel
+    )
+
+
+def make_newton_step_condensed_tp(
+    *, axis_name: str = TP_AXIS, num_devices: int, panel: int = 64
+):
+    """Backward-compatible factory returning the callable backend."""
+    return _tp_backend(axis_name, num_devices, panel)
 
 
 @functools.lru_cache(maxsize=None)
@@ -311,7 +348,12 @@ def _tp_ip_solver(
     )
 
     def replicated(theta, x0, y0, s0):
-        return ip_solve(mcp, options, theta, x0, y0, s0, newton_solver=step)
+        # Differentiable (IFT custom_jvp): the Newton factorizations AND —
+        # with sensitivity_solver="condensed" + assume_hy_zero — the
+        # backward core solves are tensor-parallel over the mesh.
+        from ..diff import _solve_ts
+
+        return _solve_ts(mcp, options, None, step, theta, x0, y0, s0)
 
     rep = P()
     fn = jax.shard_map(
@@ -346,7 +388,9 @@ def solve_single_tp(
     Uses the condensed (n+m) system (exact w.r.t. the dense tier). The
     solver loop runs replicated on every device in lockstep; only the
     per-iteration factorization is sharded. algorithm='ip' (the reference
-    loop) only."""
+    loop) only. Differentiable w.r.t. theta (IFT custom_jvp); with
+    sensitivity_solver="condensed" on an assume_hy_zero MCP the backward
+    core solves are sharded over the same mesh."""
     if options is None:
         options = SolverOptions(**option_overrides)
     elif option_overrides:

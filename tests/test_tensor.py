@@ -92,6 +92,34 @@ class TestSolveSingleTP:
         assert int(tp.status) == 0
         assert float(tp.kkt_error) <= 1e-8
 
+    def test_gradient_matches_single_device(self, mesh):
+        # Differentiable TP: jax.grad through solve_single_tp (IFT custom
+        # rule with sharded forward factorizations) equals the grad through
+        # the single-device solve. Condensed sensitivities on an
+        # assume_hy_zero MCP additionally shard the backward core solves.
+        import dataclasses
+
+        mcp = dataclasses.replace(_qp_mcp(), assume_hy_zero=True)
+        theta = jax.random.normal(jax.random.PRNGKey(5), (30,), jnp.float64)
+        opts = SolverOptions(
+            linear_solver="condensed", sensitivity_solver="condensed"
+        )
+
+        def loss_tp(t):
+            sol = solve_single_tp(mcp, t, mesh=mesh, panel=8, options=opts)
+            return jnp.sum(sol.x**2)
+
+        def loss_ref(t):
+            from mcp_tpu import solve
+
+            return jnp.sum(solve(mcp, t, options=opts).x ** 2)
+
+        g_tp = jax.grad(loss_tp)(theta)
+        g_ref = jax.grad(loss_ref)(theta)
+        np.testing.assert_allclose(
+            np.asarray(g_tp), np.asarray(g_ref), rtol=1e-8, atol=1e-10
+        )
+
     def test_rejects_structured_tiers(self, mesh):
         mcp = _qp_mcp()
         theta = jnp.zeros(30)
