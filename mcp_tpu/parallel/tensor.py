@@ -33,10 +33,12 @@ kernel of each step is an MXU matmul (dims padded to the 128-lane tile by
 XLA). Matmuls run at HIGHEST precision — a solver building block must not
 inherit bf16 default precision (DESIGN.md bf16 trap).
 
-`newton_step_condensed_tp` plugs this into the interior-point loop through
-the ``newton_solver`` injection point (solver.py ip_solve), mirroring how
-the SPIKE horizon solve injects via ``tridiag_solver``; `solve_single_tp`
-is the user entry: one game, one mesh, every Newton factorization sharded.
+`TPNewtonBackend` plugs this into the interior-point loop through the
+``newton_solver`` injection point (solver.py ip_solve / diff._solve_ts),
+mirroring how the SPIKE horizon solve injects via ``tridiag_solver``;
+`solve_single_tp` is the user entry: one game, one mesh, every Newton
+factorization sharded, differentiable via the IFT custom rule (condensed
+sensitivities shard the backward core solves too).
 """
 
 from __future__ import annotations
