@@ -50,6 +50,11 @@ def main() -> None:
     # backend caching and min-of-3 reported an 85x-wrong number.
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--quick", action="store_true")
+    # Streamed serving path: solve K batches inside ONE lax.scan dispatch
+    # (parallel.solve_batches_streamed) — amortizes the ~14 ms tunnel
+    # dispatch that separates the per-dispatch host rate from the device
+    # rate. 0 = off (the default per-dispatch protocol).
+    parser.add_argument("--stream", type=int, default=0, metavar="K")
     parser.add_argument("--tol", type=float, default=1e-4)
     # f64 solves (reference QP protocol runs tol 1e-6, benchmark/path.jl:8;
     # f32 floors at ~6e-6 true residual). TPUs emulate f64 — pair with
@@ -178,6 +183,55 @@ def main() -> None:
             "frac_true_kkt_at_tol": out_sweep["frac_true_kkt_at_tol"],
         }
         metric_name = "warm_lane_change_mcp_solves_per_sec"
+    elif args.stream > 0:
+        # K different batches solved back-to-back in one compiled dispatch;
+        # timed over `repeats` dispatches of fresh K-stacks, median reported.
+        import time as _time
+
+        import numpy as _np
+
+        from mcp_tpu.parallel import solve_batches_streamed
+
+        def stack_for(i):
+            return jnp.stack(
+                [theta_sampler(i * args.stream + k) for k in range(args.stream)]
+            )
+
+        stack = stack_for(0)
+        result = solve_batches_streamed(mcp, stack, options=options)
+        result.x.block_until_ready()  # compile
+        times = []
+        for r in range(1, args.repeats + 1):
+            st = stack_for(r)
+            st.block_until_ready()
+            t0 = _time.perf_counter()
+            result = solve_batches_streamed(mcp, st, options=options)
+            result.x.block_until_ready()
+            times.append(_time.perf_counter() - t0)
+            last_stack = st
+        median_t = float(_np.median(times))
+        flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), result)
+        stats = harness.batch_statistics(flat)
+        true_kkt = _np.asarray(
+            harness.true_kkt_errors(
+                mcp, flat, last_stack.reshape(-1, last_stack.shape[-1])
+            )
+        )
+        solved = _np.asarray(flat.status) == 0
+        solved_kkt = true_kkt[solved] if solved.any() else _np.asarray([_np.nan])
+        stats.update(
+            {
+                "batch_size": batch,
+                "stream_depth": args.stream,
+                "best_batch_time_s": float(min(times)) / args.stream,
+                "median_batch_time_s": median_t / args.stream,
+                "solves_per_sec": args.stream * batch / median_t,
+                "true_kkt_max": float(_np.max(solved_kkt)),
+                "true_kkt_median": float(_np.median(solved_kkt)),
+                "frac_true_kkt_at_tol": float(_np.mean(true_kkt <= options.tol)),
+            }
+        )
+        metric_name += "_streamed"
     else:
         stats = harness.benchmark_batched(
             mcp,

@@ -13,6 +13,7 @@ from mcp_tpu.parallel import (
     make_batch_mesh,
     solve_batch,
     solve_batch_sharded,
+    solve_batches_streamed,
 )
 
 M = jnp.array([[2.0, 1.0], [1.0, 2.0]])
@@ -111,3 +112,41 @@ class TestShardedMesh:
             raise AssertionError("expected ValueError")
         except ValueError as e:
             assert "divisible" in str(e)
+
+
+class TestStreamedBatches:
+    def test_streamed_matches_per_batch(self):
+        mcp = make_mcp()
+        K, B = 3, 4
+        stack = jnp.stack([theta_batch(B) + 0.1 * k for k in range(K)])
+        out = solve_batches_streamed(mcp, stack)
+        assert out.x.shape == (K, B, 2)
+        for k in range(K):
+            ref = solve_batch(mcp, stack[k])
+            np.testing.assert_array_equal(out.x[k], ref.x)
+            np.testing.assert_array_equal(out.y[k], ref.y)
+            np.testing.assert_array_equal(out.status[k], ref.status)
+            np.testing.assert_array_equal(out.outer_iters[k], ref.outer_iters)
+
+    def test_warm_chain_matches_host_loop(self):
+        mcp = make_mcp()
+        K, B = 4, 4
+        base = theta_batch(B)
+        stack = jnp.stack([base + 0.005 * k for k in range(K)])
+        out = solve_batches_streamed(mcp, stack, warm_chain=True)
+        # Host-side reference chain: step k warm-starts from step k-1's
+        # (x, y); failed lanes keep the previous warm start.
+        x = jnp.zeros((B, 2), base.dtype)
+        y = jnp.ones((B, 2), base.dtype)
+        for k in range(K):
+            ref = solve_batch(mcp, stack[k], x0=x, y0=y)
+            np.testing.assert_array_equal(out.x[k], ref.x)
+            np.testing.assert_array_equal(out.outer_iters[k], ref.outer_iters)
+            ok = (ref.status == 0)[:, None]
+            x = jnp.where(ok, ref.x, x)
+            y = jnp.where(ok, ref.y, y)
+        # Warm-started re-solves converge in fewer iterations than cold.
+        cold = solve_batch(mcp, stack[-1])
+        assert float(jnp.median(out.outer_iters[-1])) <= float(
+            jnp.median(cold.outer_iters)
+        )
