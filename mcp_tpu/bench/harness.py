@@ -102,6 +102,17 @@ def benchmark_warm_sweep(
     # Compile + cold-start on the first step.
     result = solve_batch(mcp, theta_sweep[0], options=cold_options or options)
     result.x.block_until_ready()
+    # Compile the WARM-start program (different jit signature: x0/y0[/s0]
+    # arguments) outside the clock too — otherwise its one-off compile lands
+    # in times[0] and the sum-based rate reports compile, not solving
+    # (measured: 184/s reported vs 6.4K/s steady-state on the TPU tunnel,
+    # where a compile costs ~12 s). The probe re-solves step 1 with the
+    # exact warm state the loop will use, so chain semantics are unchanged.
+    if K > 1:
+        warm0 = {"s0": result.s} if warm_slacks else {}
+        solve_batch(
+            mcp, theta_sweep[1], x0=result.x, y0=result.y, options=options, **warm0
+        ).x.block_until_ready()
     iters = [batch_statistics(result)["median_outer_iters"]]
     times = []
     for k in range(1, K):
