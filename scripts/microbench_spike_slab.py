@@ -88,7 +88,15 @@ for B in args.batches:
         @jax.jit
         def run(d, l, u, r, solver=solver):
             def body(_, x):
-                return solver(d, l, u, r + 1e-20 * x)  # data-dependent chain
+                # Perturb the MATRIX too, not just the RHS: with loop-
+                # invariant (d, l, u), XLA hoists the factorization out of
+                # the fori_loop and only the back-substitution is timed,
+                # while the monolithic Pallas call re-factorizes every
+                # iteration — an unfair 0.88x "ablation" (round-3 queue
+                # capture). The 1e-20 nudge keeps both paths factorizing
+                # per iteration without changing the solution materially.
+                d_v = d + 1e-20 * x[..., :b]
+                return solver(d_v, l, u, r + 1e-20 * x)
 
             return jax.lax.fori_loop(0, K, body, r)
 
