@@ -1251,23 +1251,69 @@ PALLAS_THOMAS_MAX_BLOCK = 64
 PALLAS_THOMAS_CR_MIN_T = 64
 
 
-def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
-    """Shape-aware Thomas solve: fused Pallas sweep (QR) for small blocks
-    and short-to-moderate horizons, in-kernel cyclic reduction for long
-    chains (sweep elimination growth, see PALLAS_THOMAS_CR_MIN_T) and for
-    large blocks (REFINED pivoted Gauss–Jordan; see crossover notes above).
+# Mid-block small-batch cut (measured N=4 h=30, b=40, v5e round 3): at
+# batch 8 the CR+GJP kernel runs 139.2 solves/s vs the QR sweep's 77.7
+# (success 1.0, identical outer counts), while at batch 128 the T-tiled
+# lane-major QR sweep wins (121.1 vs crgjp 79.3). The crossover is the
+# lanes gate's own B >= 128 tile requirement, so the batch-aware auto tier
+# routes 32 < b <= 64 by batch size.
+PALLAS_THOMAS_MIDBLOCK = 32
 
-    Wide blocks route to crgjpr, not crgjp, since round 3: GJP's pivot-growth
-    residual envelope dropped 12% of N=10 (b=100) instances under the polish
-    certifier (success 0.88, frac_true_kkt 0.875 at tol 1e-4), while one
-    in-kernel iterative-refinement step restores success 1.00 /
-    frac_true_kkt 1.000 AND runs 1.5x faster end-to-end under polish
-    (3.72 vs 2.40 solves/s, batch 8 — failed lanes burn max-iteration time)."""
-    if diag.shape[-1] <= PALLAS_THOMAS_MAX_BLOCK:
-        if diag.shape[-3] >= PALLAS_THOMAS_CR_MIN_T:
-            return cr_thomas_solve(diag, lower, upper, rhs)
-        return thomas_solve(diag, lower, upper, rhs)
-    return crgjpr_thomas_solve(diag, lower, upper, rhs)
+
+def _auto_pick(B: int, T: int, b: int):
+    """(mode, fact) for the batch-aware auto tier (see crossover notes)."""
+    if b > PALLAS_THOMAS_MAX_BLOCK:
+        # Wide blocks: CR + REFINED pivoted Gauss–Jordan since round 3:
+        # GJP's pivot-growth envelope dropped 12% of N=10 (b=100) instances
+        # under the polish certifier (success 0.88, frac 0.875) while one
+        # in-kernel refinement step restores success 1.00 / frac 1.000 AND
+        # runs 1.5x faster end-to-end under polish (3.72 vs 2.40 solves/s).
+        return "cr", "gjpr"
+    if T >= PALLAS_THOMAS_CR_MIN_T:
+        return "cr", "qr"
+    if b > PALLAS_THOMAS_MIDBLOCK and B < 128:
+        return "cr", "gjp"
+    return None, "qr"  # sweep ladder; lane-major auto-gate at B >= 128
+
+
+@jax.custom_batching.custom_vmap
+def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+    """Shape- AND batch-aware Thomas solve (tier "tridiag_auto"): fused
+    Pallas sweep (QR / lane-major) for small blocks, in-kernel cyclic
+    reduction for long chains (sweep elimination growth, see
+    PALLAS_THOMAS_CR_MIN_T), CR + pivoted Gauss–Jordan for mid blocks at
+    small batch (PALLAS_THOMAS_MIDBLOCK), and CR + refined GJ for wide
+    blocks. Unlike the fixed-factorization tiers this dispatcher makes no
+    factorization promise — it picks the measured winner per regime."""
+    T, b = diag.shape[-3], diag.shape[-1]
+    mode, fact = _auto_pick(1, T, b)
+    return pallas_block_thomas(
+        diag[None], lower[None], upper[None], rhs[None], mode=mode, fact=fact
+    )[0]
+
+
+@auto_thomas_solve.def_vmap
+def _auto_vmap(axis_size, in_batched, diag, lower, upper, rhs):
+    ops = [diag, lower, upper, rhs]
+    for i, (batched, op) in enumerate(zip(in_batched, ops)):
+        if not batched:
+            ops[i] = jnp.broadcast_to(op[None], (axis_size,) + op.shape)
+    diag, lower, upper, rhs = ops
+    lead = diag.shape[:-3]
+    T, b = diag.shape[-3], diag.shape[-1]
+    B = 1
+    for d in lead:
+        B *= d
+    mode, fact = _auto_pick(B, T, b)
+    out = pallas_block_thomas(
+        diag.reshape(-1, T, b, b),
+        lower.reshape(-1, T - 1, b, b),
+        upper.reshape(-1, T - 1, b, b),
+        rhs.reshape(-1, T, b),
+        mode=mode,
+        fact=fact,
+    )
+    return out.reshape(*lead, T, b), True
 
 
 def _make_thomas_solve(mode: str | None, fact: str = "qr"):
