@@ -177,6 +177,9 @@ def main() -> None:
             "success_rate": out_sweep["final_success_rate"],
             "median_outer_iters": out_sweep["median_outer_iters_per_step"][-1],
             "best_batch_time_s": out_sweep["median_step_time_s"],
+            "median_batch_time_s": out_sweep["median_step_time_s"],
+            "ingraph_batch_time_s": out_sweep["ingraph_step_time_s"],
+            "timing_consistent": out_sweep["timing_consistent"],
             "max_kkt_error_solved": out_sweep["true_kkt_max"],
             "true_kkt_max": out_sweep["true_kkt_max"],
             "true_kkt_median": out_sweep["true_kkt_median"],

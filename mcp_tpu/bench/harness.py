@@ -124,16 +124,71 @@ def benchmark_warm_sweep(
         result.x.block_until_ready()
         times.append(time.perf_counter() - t0)
         iters.append(batch_statistics(result)["median_outer_iters"])
+    # Scalar-forced in-graph timing of the same warm chain: one lax.scan
+    # dispatch over steps 1..K-1 (solve_batches_streamed warm_chain) whose
+    # VALUE is forced to the host. On the axon tunnel, block_until_ready on
+    # a device BUFFER can return ~1000x before the computation finishes
+    # (measured on the QP suite: 0.76 ms buffer-block vs 1248 ms
+    # value-force for the same batch), so per-step host times above are a
+    # lower bound, not a measurement. The in-graph chain amortizes the one
+    # forced d2h round-trip over all steps; it is the honest steady-state
+    # warm re-solve time and ships as warm_solves_per_sec.
+    ingraph_step_t = float("nan")
+    if K > 1:
+        from .. import parallel as _parallel
+
+        cold = solve_batch(mcp, theta_sweep[0], options=cold_options or options)
+        streamed = _parallel.solve_batches_streamed(
+            mcp,
+            theta_sweep[1:],
+            x0=cold.x,
+            y0=cold.y,
+            s0=cold.s if warm_slacks else None,
+            options=options,
+            warm_chain=True,
+            warm_slacks=warm_slacks,
+        )
+        float(jnp.sum(streamed.x))  # compile + warm outside the clock
+        t0 = time.perf_counter()
+        streamed = _parallel.solve_batches_streamed(
+            mcp,
+            theta_sweep[1:],
+            x0=cold.x,
+            y0=cold.y,
+            s0=cold.s if warm_slacks else None,
+            options=options,
+            warm_chain=True,
+            warm_slacks=warm_slacks,
+        )
+        float(jnp.sum(streamed.x))  # force the VALUE, not buffer metadata
+        ingraph_step_t = (time.perf_counter() - t0) / (K - 1)
     # Honest convergence reporting for the warm suite too (VERDICT r2 #7):
     # recomputed final-step ‖F‖∞ over the final batch, solved-only extremes.
     true_kkt = np.asarray(true_kkt_errors(mcp, result, theta_sweep[-1]))
     solved = np.asarray(result.status) == 0
     solved_kkt = true_kkt[solved] if solved.any() else np.asarray([np.nan])
+    # Honest rate: the scalar-forced in-graph chain when available (host
+    # per-dispatch times can under-wait on buffer readiness — see above);
+    # report both and flag disagreement like benchmark_batched does.
+    host_step_t = float(np.median(times)) if times else float("nan")
+    step_t = ingraph_step_t if ingraph_step_t == ingraph_step_t else host_step_t
+    # Consistent if within 2x OR within 20 ms absolute (per-dispatch jitter
+    # dominates µs-scale micro problems; the artifact this guards is ~1000x).
+    consistent = (
+        max(host_step_t, ingraph_step_t)
+        / max(min(host_step_t, ingraph_step_t), 1e-12)
+        <= 2.0
+        or abs(host_step_t - ingraph_step_t) <= 0.02
+        if step_t == step_t and host_step_t == host_step_t
+        else True
+    )
     return {
         "sweep_steps": K,
         "batch_size": B,
-        "warm_solves_per_sec": (K - 1) * B / sum(times) if times else float("nan"),
-        "median_step_time_s": float(np.median(times)) if times else float("nan"),
+        "warm_solves_per_sec": B / step_t if step_t == step_t else float("nan"),
+        "median_step_time_s": host_step_t,
+        "ingraph_step_time_s": ingraph_step_t,
+        "timing_consistent": bool(consistent),
         "step_times_s": [float(t) for t in times],
         "median_outer_iters_per_step": iters,
         "final_success_rate": batch_statistics(result)["success_rate"],
@@ -287,7 +342,9 @@ def benchmark_batched(
         fn(stack, x0, y0, s0).block_until_ready()
         ingraph_t = (time.perf_counter() - t0) / repeats
         ratio = max(median_t, ingraph_t) / max(min(median_t, ingraph_t), 1e-12)
-        consistent = ratio <= 2.0
+        # 2x relative OR 20 ms absolute (µs-scale micro-problem jitter must
+        # not flag; the buffer-under-wait artifact this guards is ~1000x).
+        consistent = ratio <= 2.0 or abs(median_t - ingraph_t) <= 0.02
         if not consistent:
             import warnings
 
