@@ -202,14 +202,17 @@ def main() -> None:
 
         stack = stack_for(0)
         result = solve_batches_streamed(mcp, stack, options=options)
-        result.x.block_until_ready()  # compile
+        float(jnp.sum(result.x))  # compile + force
         times = []
         for r in range(1, args.repeats + 1):
             st = stack_for(r)
             st.block_until_ready()
             t0 = _time.perf_counter()
             result = solve_batches_streamed(mcp, st, options=options)
-            result.x.block_until_ready()
+            # Force the VALUE: buffer-block can under-wait on this backend
+            # (scripts/diag_qp_timing.py); the one d2h scalar round-trip is
+            # amortized over the whole K-batch stream.
+            float(jnp.sum(result.x))
             times.append(_time.perf_counter() - t0)
             last_stack = st
         median_t = float(_np.median(times))

@@ -26,7 +26,11 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--Tl", type=int, default=16, help="local slab length T/D")
 parser.add_argument("--b", type=int, default=20)
-parser.add_argument("--batches", nargs="*", type=int, default=[1, 8])
+# Production SPIKE shapes carry the full per-device instance batch into the
+# local slab (each of B instances' Newton systems is horizon-sharded), so
+# the ablation must cover large B — at B=8 both implementations are µs-scale
+# and latency-equivalent in-graph.
+parser.add_argument("--batches", nargs="*", type=int, default=[8, 64, 256])
 parser.add_argument("--repeats", type=int, default=10)
 parser.add_argument("--K", type=int, default=20, help="in-graph chain length")
 args = parser.parse_args()
