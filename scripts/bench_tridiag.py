@@ -22,6 +22,10 @@ parser.add_argument("--skip-lane-change", action="store_true")
 # flagship criterion is "certified at tol 1e-4 with success 1.0").
 parser.add_argument("--polish", action="store_true")
 parser.add_argument("--tol", type=float, default=1e-4)
+# ϵ-annealing rate: default stays the reference schedule (0.1,
+# src/solver.jl:44); the headline bench's tuned 0.02 anneals faster at the
+# same algorithm (certification via --polish keeps it honest).
+parser.add_argument("--tightening-rate", type=float, default=0.1)
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -49,7 +53,12 @@ print("device:", jax.devices()[0])
 
 def bench(mcp, thetas, tier, x0=None, repeats=None):
     repeats = repeats if repeats is not None else args.repeats
-    opts = SolverOptions(linear_solver=tier, polish=args.polish, tol=args.tol)
+    opts = SolverOptions(
+        linear_solver=tier,
+        polish=args.polish,
+        tol=args.tol,
+        tightening_rate=args.tightening_rate,
+    )
     sol = solve_batch(mcp, thetas, x0=x0, options=opts)
     jax.block_until_ready(sol.x)
     times = []
