@@ -269,7 +269,14 @@ def pallas_qr_solve_fused(
         interpret = jax.devices()[0].platform != "tpu"
     B, n, _ = A.shape
     if batch_tile is None:
-        per_sys = n * (n + 1) * A.dtype.itemsize
+        # Budget against MOSAIC-PADDED tiles ((8, 128) granularity) times a
+        # 3x factor for in/out copies + kernel temporaries — the raw
+        # n·(n+1) accounting under-counted ~4x and OOM'd scoped VMEM at
+        # B=256, n=100 (38.98 MiB actual vs 16 MiB default limit, QP suite
+        # schur_pallas tier, round 3).
+        sub8 = -(-n // 8) * 8
+        lane128 = -(-(n + 1) // 128) * 128
+        per_sys = 3 * sub8 * lane128 * A.dtype.itemsize
         batch_tile = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
     if B % batch_tile != 0:
         pad = batch_tile - B % batch_tile
@@ -299,6 +306,9 @@ def pallas_qr_solve_fused(
             bytes_accessed=B * n * (n + 1) * 4 + B * n * 4,
             transcendentals=B * n,
         ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(Aaug)
 
