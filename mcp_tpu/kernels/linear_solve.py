@@ -278,6 +278,11 @@ def pallas_qr_solve_fused(
         lane128 = -(-(n + 1) // 128) * 128
         per_sys = 3 * sub8 * lane128 * A.dtype.itemsize
         batch_tile = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
+        if batch_tile < B:
+            # A partial tile must be (8, 128)-divisible in its trailing
+            # dims (Mosaic block rule); the batch axis is second-to-last
+            # in the (tile, n) output block.
+            batch_tile = min(B, max(8, batch_tile // 8 * 8))
     if B % batch_tile != 0:
         pad = batch_tile - B % batch_tile
         A = jnp.concatenate([A, jnp.tile(jnp.eye(n, dtype=A.dtype)[None], (pad, 1, 1))])
