@@ -96,8 +96,11 @@ def kernel_parity():
         ("b20_headline", 10, 20, 128, [("oneway", "qr"), ("babe", "qr"),
                                        ("cr", "gjp"), ("lanes", "qr")]),
         ("b40_flagshipN4", 30, 40, 8, [("oneway", "qr"), ("babe", "qr"),
-                                       ("cr", "gjp")]),
-        ("b100_flagshipN10", 30, 100, 8, [("cr", "gjp")]),
+                                       ("cr", "gjp"), ("cr", "gjpr")]),
+        # The T-tiled lane-major streaming path (band > VMEM window): the
+        # N=4 certified-record configuration (286.4 solves/s, round 3).
+        ("b40_lanes_tiled", 30, 40, 128, [("lanes", "qr")]),
+        ("b100_flagshipN10", 30, 100, 8, [("cr", "gjp"), ("cr", "gjpr")]),
     ]
     with jax.default_matmul_precision("highest"):
         for idx, (label, T, b, B, variants) in enumerate(cases):
@@ -126,6 +129,34 @@ def kernel_parity():
                 except Exception as e:  # Mosaic compile failures land here
                     record(name, False, error=f"{type(e).__name__}: {e}"[:300],
                            seconds=round(time.perf_counter() - t0, 1))
+
+    # Batch-aware auto dispatcher (round 3: tridiag_auto is a custom_vmap
+    # that picks (mode, fact) from the axis size): route coverage at the
+    # mid-block small-batch (-> cr+gjp) and wide-block (-> cr+gjpr) cuts.
+    from mcp_tpu.kernels.thomas_pallas import auto_thomas_solve
+
+    with jax.default_matmul_precision("highest"):
+        for label, T, b, B in [("auto_b40_B8", 30, 40, 8),
+                               ("auto_b100_B8", 10, 100, 8)]:
+            name = f"kernel/{label}"
+            t0 = time.perf_counter()
+            try:
+                diag, lower, upper, rhs = random_system(
+                    jax.random.PRNGKey(91), B, T, b
+                )
+                x_ref = jax.jit(jax.vmap(block_thomas_solve))(
+                    diag, lower, upper, rhs
+                )
+                x = jax.jit(jax.vmap(auto_thomas_solve))(diag, lower, upper, rhs)
+                x.block_until_ready()
+                rel = float(jnp.max(jnp.abs(x - x_ref))) / max(
+                    float(jnp.max(jnp.abs(x_ref))), 1e-30
+                )
+                record(name, rel <= 1e-2, rel_err=f"{rel:.2e}",
+                       seconds=round(time.perf_counter() - t0, 1))
+            except Exception as e:
+                record(name, False, error=f"{type(e).__name__}: {e}"[:300],
+                       seconds=round(time.perf_counter() - t0, 1))
 
 
 def solver_tiers():
