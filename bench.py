@@ -131,12 +131,16 @@ def main() -> None:
         )
         metric_name = "qp_mcp_solves_per_sec"
         if args.tier.startswith("tridiag"):
+            # Measured on-chip (round 3, conservative in-graph timing):
+            # schur_pallas 235.7/s success 1.0 frac 1.0 vs schur 168.3/s
+            # success 0.969 — the fused QR kernel is both faster AND fully
+            # certifies, so it is the QP default.
             print(
                 f"note: --tier {args.tier} has no QP time structure; "
-                "running the exact 'schur' tier instead",
+                "running the exact 'schur_pallas' tier instead",
                 file=sys.stderr,
             )
-            args.tier = "schur"
+            args.tier = "schur_pallas"
     else:
         bench = lc.generate_test_problem(horizon=10)
         mcp = bench.parametric_game.mcp
