@@ -24,6 +24,16 @@ Flags: --cpu (debug on CPU), --batch B, --repeats R, --quick (tiny batch).
 import argparse
 import json
 import sys
+import time
+
+_T0 = time.monotonic()
+
+
+def _phase(name: str) -> None:
+    """Stderr wall-clock breadcrumbs: where the capture window goes
+    (VERDICT r3: the round-3 driver record was rc=124 with no number —
+    the official record must show WHICH stage ate the clock)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {name}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -89,10 +99,21 @@ def main() -> None:
     parser.add_argument(
         "--fused-linesearch", default="default", choices=["default", "on", "off"]
     )
+    # Wall-clock budget for the whole run. The certified host-timed JSON
+    # line is ALWAYS emitted as soon as the repeat loop + true-KKT eval
+    # finish; the in-graph cross-check (a second large compile) only runs
+    # if at least ~40% of the budget remains, else the final line carries
+    # "ingraph_skipped". Round-3 lesson: the driver's capture window timed
+    # out (rc=124) on the full three-compile pipeline and the official
+    # record had NO number.
+    parser.add_argument("--budget-seconds", type=float, default=420.0)
     args = parser.parse_args()
+    if args.stream > 0 and args.repeats < 1:
+        parser.error("--stream requires --repeats >= 1")
 
     import jax
 
+    _phase("jax imported")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
@@ -162,6 +183,47 @@ def main() -> None:
         option_kwargs["fused_linesearch"] = args.fused_linesearch == "on"
     option_kwargs["tightening_rate"] = args.tightening_rate
     options = SolverOptions(**option_kwargs)
+
+    _phase(f"problem built (suite={args.suite}); compiling the batched solve")
+
+    baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
+
+    def make_out(stats: dict, name: str) -> dict:
+        out = {
+            "metric": name,
+            "value": round(stats["solves_per_sec"], 3),
+            "unit": "solves/s",
+            "vs_baseline": round(
+                stats["solves_per_sec"] / baseline_solves_per_sec, 2
+            ),
+            "batch_size": stats["batch_size"],
+            "success_rate": round(stats["success_rate"], 4),
+            "median_outer_iters": stats["median_outer_iters"],
+            "best_batch_time_s": round(stats["best_batch_time_s"], 4),
+            "max_kkt_error_solved": float(f"{stats['max_kkt_error_solved']:.3g}"),
+            # Recomputed ‖F‖∞ at the final iterates — the honest convergence
+            # numbers (the solver's status can report :solved on the
+            # reference's ϵ ≤ tol exit with kkt above tol; see
+            # harness.true_kkt_errors).
+            "true_kkt_max": float(f"{stats['true_kkt_max']:.3g}"),
+            "true_kkt_median": float(f"{stats['true_kkt_median']:.3g}"),
+            "frac_true_kkt_at_tol": round(stats["frac_true_kkt_at_tol"], 4),
+            "tol": args.tol,
+            "certified": bool(args.polish),
+            "device": str(jax.devices()[0]),
+        }
+        for k in (
+            "median_batch_time_s",
+            "ingraph_batch_time_s",
+            "timing_consistent",
+            "ingraph_skipped",
+            "stream_depth",
+        ):
+            if k in stats:
+                out[k] = (
+                    round(stats[k], 4) if isinstance(stats[k], float) else stats[k]
+                )
+        return out
 
     if args.suite == "warm":
         # K sweep steps with a small θ drift per step (the receding-horizon
@@ -243,39 +305,42 @@ def main() -> None:
         )
         metric_name += "_streamed"
     else:
+        # Two-stage emission (VERDICT r3 item 1): the certified host-timed
+        # JSON line prints as soon as the repeat loop + true-KKT eval
+        # finish; the in-graph cross-check — a second large compile —
+        # runs after, budget permitting, and reprints the line with the
+        # extra fields. A capture-window timeout mid-cross-check still
+        # leaves a parseable certified number in the output tail.
         stats = harness.benchmark_batched(
             mcp,
             thetas,
             repeats=args.repeats,
             options=options,
             theta_sampler=theta_sampler,
+            ingraph_check=False,
         )
+        _phase("host repeats + true-KKT done; emitting certified line")
+        print(json.dumps(make_out(stats, metric_name)), flush=True)
+        elapsed = time.monotonic() - _T0
+        if elapsed <= 0.6 * args.budget_seconds:
+            _phase("in-graph cross-check (second large compile)")
+            harness.apply_ingraph_crosscheck(
+                mcp,
+                stats,
+                theta_sampler,
+                options=options,
+                repeats=min(args.repeats, 3),
+            )
+        else:
+            stats["ingraph_skipped"] = (
+                f"budget: {elapsed:.0f}s of {args.budget_seconds:.0f}s elapsed"
+            )
+        _phase("final line")
+        print(json.dumps(make_out(stats, metric_name)), flush=True)
+        return
 
-    baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
-    out = {
-        "metric": metric_name,
-        "value": round(stats["solves_per_sec"], 3),
-        "unit": "solves/s",
-        "vs_baseline": round(stats["solves_per_sec"] / baseline_solves_per_sec, 2),
-        "batch_size": stats["batch_size"],
-        "success_rate": round(stats["success_rate"], 4),
-        "median_outer_iters": stats["median_outer_iters"],
-        "best_batch_time_s": round(stats["best_batch_time_s"], 4),
-        "max_kkt_error_solved": float(f"{stats['max_kkt_error_solved']:.3g}"),
-        # Recomputed ‖F‖∞ at the final iterates — the honest convergence
-        # numbers (the solver's status can report :solved on the reference's
-        # ϵ ≤ tol exit with kkt above tol; see harness.true_kkt_errors).
-        "true_kkt_max": float(f"{stats['true_kkt_max']:.3g}"),
-        "true_kkt_median": float(f"{stats['true_kkt_median']:.3g}"),
-        "frac_true_kkt_at_tol": round(stats["frac_true_kkt_at_tol"], 4),
-        "tol": args.tol,
-        "certified": bool(args.polish),
-        "device": str(jax.devices()[0]),
-    }
-    for k in ("median_batch_time_s", "ingraph_batch_time_s", "timing_consistent"):
-        if k in stats:
-            out[k] = round(stats[k], 4) if isinstance(stats[k], float) else stats[k]
-    print(json.dumps(out))
+    _phase("final line")
+    print(json.dumps(make_out(stats, metric_name)), flush=True)
 
 
 if __name__ == "__main__":

@@ -283,6 +283,19 @@ def pallas_qr_solve_fused(
             # dims (Mosaic block rule); the batch axis is second-to-last
             # in the (tile, n) output block.
             batch_tile = min(B, max(8, batch_tile // 8 * 8))
+            if batch_tile * per_sys > vmem_budget_bytes:
+                # The forced floor of 8 exceeds the stated budget (large n):
+                # don't silently rely on the raised hard limit — warn so the
+                # budget parameter stays meaningful (ADVICE r3).
+                import warnings
+
+                warnings.warn(
+                    f"pallas_qr_solve_fused: minimum batch tile 8 needs "
+                    f"{8 * per_sys / 2**20:.1f} MiB VMEM, over the "
+                    f"{vmem_budget_bytes / 2**20:.1f} MiB budget; relying on "
+                    "the kernel's raised vmem_limit_bytes.",
+                    stacklevel=2,
+                )
     if B % batch_tile != 0:
         pad = batch_tile - B % batch_tile
         A = jnp.concatenate([A, jnp.tile(jnp.eye(n, dtype=A.dtype)[None], (pad, 1, 1))])

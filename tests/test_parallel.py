@@ -123,8 +123,11 @@ class TestStreamedBatches:
         assert out.x.shape == (K, B, 2)
         for k in range(K):
             ref = solve_batch(mcp, stack[k])
-            np.testing.assert_array_equal(out.x[k], ref.x)
-            np.testing.assert_array_equal(out.y[k], ref.y)
+            # The scan-wrapped and standalone solves are different XLA
+            # programs; fusion/remat differences can legally shift ULPs,
+            # so float fields compare allclose (integer fields stay exact).
+            np.testing.assert_allclose(out.x[k], ref.x, rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(out.y[k], ref.y, rtol=1e-6, atol=1e-6)
             np.testing.assert_array_equal(out.status[k], ref.status)
             np.testing.assert_array_equal(out.outer_iters[k], ref.outer_iters)
 
@@ -140,7 +143,7 @@ class TestStreamedBatches:
         y = jnp.ones((B, 2), base.dtype)
         for k in range(K):
             ref = solve_batch(mcp, stack[k], x0=x, y0=y)
-            np.testing.assert_array_equal(out.x[k], ref.x)
+            np.testing.assert_allclose(out.x[k], ref.x, rtol=1e-6, atol=1e-6)
             np.testing.assert_array_equal(out.outer_iters[k], ref.outer_iters)
             ok = (ref.status == 0)[:, None]
             x = jnp.where(ok, ref.x, x)
