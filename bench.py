@@ -129,6 +129,13 @@ def main() -> None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:
             pass
+        # CPU backend alongside the TPU: the problem builder's validation
+        # probes then compile locally instead of through the tunnel —
+        # round-4 measurement: 360 s of the 387 s bench wall-clock was
+        # probe compiles (utils/devices.py).
+        from mcp_tpu.utils.devices import enable_host_probe_backend
+
+        enable_host_probe_backend()
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -65,6 +65,11 @@ def generate_test_problem(
         unconstrained_dimension=n,
         constrained_dimension=m,
         parameter_dimension=parameter_dimension(n, m),
+        # G = Mx − ϕ − Aᵀy and H = Ax − b are affine in (x, y): the solver
+        # extracts the constant Jacobian once per solve instead of running
+        # the (n+m)-seed linearize every inner iteration (verified by
+        # tests/test_solver.py::TestAffineFastPath against verify_affine).
+        affine=True,
     )
     return QPProblem(mcp=mcp, num_primals=n, num_inequalities=m)
 

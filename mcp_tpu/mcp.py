@@ -78,6 +78,16 @@ class PrimalDualMCP:
     # per-iteration linearize then costs one residual evaluation instead of
     # a 3b+3m_t-seed forward-mode sweep.
     affine_bands: Optional[object] = None
+    # True when (G, H) are AFFINE in (x, y) for fixed θ — i.e. Gx/Gy/Hx/Hy
+    # are independent of the iterate. The dense analog of `affine_bands`:
+    # the solver then extracts the Jacobian ONCE per solve (n+m forward
+    # seeds, hoisted before the Newton loop) and each inner iteration's
+    # residual+Jacobian costs two matvecs instead of an (n+m)-seed
+    # linearize sweep. True for every QP-derived KKT system — the
+    # reference's QP benchmark problem has G = Mx − ϕ − Aᵀy, H = Ax − b
+    # (benchmark/quadratic_program_benchmark.jl:20-35), both affine.
+    # Verify with `verify_affine` before setting on user problems.
+    affine: bool = False
 
     # -- residual assembly ---------------------------------------------------
 
@@ -140,6 +150,20 @@ class PrimalDualMCP:
         J = jax.jacfwd(stacked)(jnp.concatenate([x, y]))
         return J[:n, :n], J[:n, n:], J[n:, :n], J[n:, n:]
 
+    def gh_affine_data(self, theta: Array, dtype=None):
+        """Affine decomposition ``G = g0 + Gx·x + Gy·y``, ``H = h0 + Hx·x +
+        Hy·y`` — valid only when ``affine=True`` (constant Jacobians).
+        Evaluated at (x, y) = 0 so g0/h0 are the pure-θ offsets; one
+        (n+m)-seed Jacobian extraction serves the whole solve."""
+        n = self.unconstrained_dimension
+        m = self.constrained_dimension
+        dtype = dtype or jnp.asarray(theta).dtype
+        x0 = jnp.zeros(n, dtype)
+        y0 = jnp.zeros(m, dtype)
+        g0, h0 = self.gh(x0, y0, theta)
+        Gx, Gy, Hx, Hy = self.gh_jacobians(x0, y0, theta)
+        return g0, h0, Gx, Gy, Hx, Hy
+
     def total_dimension(self) -> int:
         return self.unconstrained_dimension + 2 * self.constrained_dimension
 
@@ -154,11 +178,13 @@ class PrimalDualMCP:
         constrained_dimension: int,
         parameter_dimension: int,
         compute_sensitivities: bool = True,
+        affine: bool = False,
     ) -> "PrimalDualMCP":
         """Construct from callables G(x, y, θ), H(x, y, θ).
 
         Counterpart of the reference's callable constructor (src/mcp.jl:27-52);
         the symbolic make_variables/tracing steps are subsumed by jit tracing.
+        ``affine`` declares constant (x, y)-Jacobians (see the field doc).
         """
         return PrimalDualMCP(
             G=G,
@@ -167,6 +193,7 @@ class PrimalDualMCP:
             constrained_dimension=constrained_dimension,
             parameter_dimension=parameter_dimension,
             compute_sensitivities=compute_sensitivities,
+            affine=affine,
         )
 
     @staticmethod
@@ -177,6 +204,7 @@ class PrimalDualMCP:
         *,
         parameter_dimension: int,
         compute_sensitivities: bool = True,
+        affine: bool = False,
     ) -> "PrimalDualMCP":
         """Construct from ``K(z, θ) ⟂ lb ≤ z ≤ ub``.
 
@@ -225,4 +253,32 @@ class PrimalDualMCP:
             parameter_dimension=parameter_dimension,
             compute_sensitivities=compute_sensitivities,
             GH=gh,
+            affine=affine,
         )
+
+
+def verify_affine(
+    mcp: PrimalDualMCP, theta: Array, *, key: Optional[Array] = None,
+    atol: float = 1e-4,
+) -> bool:
+    """Numerically check that (G, H) are affine in (x, y) at this θ: the
+    affine model from `gh_affine_data` must reproduce gh() at random probe
+    points. Mirrors the trajectory builder's affine-bands verification
+    pattern; call before constructing with ``affine=True`` on problems whose
+    structure isn't known analytically."""
+    key = jax.random.PRNGKey(7) if key is None else key
+    n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+    g0, h0, Gx, Gy, Hx, Hy = mcp.gh_affine_data(theta)
+    ok = True
+    for i in range(2):
+        kx, ky, key = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (n,), g0.dtype)
+        y = jax.random.normal(ky, (m,), g0.dtype)
+        g, h = mcp.gh(x, y, theta)
+        ok = ok and bool(
+            jnp.max(jnp.abs(g - (g0 + Gx @ x + Gy @ y)), initial=0.0) <= atol
+        )
+        ok = ok and bool(
+            jnp.max(jnp.abs(h - (h0 + Hx @ x + Hy @ y)), initial=0.0) <= atol
+        )
+    return ok

@@ -274,32 +274,40 @@ def build_parametric_game(
     )
 
     if time_structure:
+        from ..utils.devices import probes_on_cpu
+
         structure = build_time_structure(game, horizon)
         n = pg.mcp.unconstrained_dimension
         if len(structure.permutation) == n:
-            offband = validate_time_structure(pg, structure)
-            if offband < 1e-8:
-                import dataclasses as _dc
+            # All numeric validation probes run on the CPU backend when one
+            # is available (utils/devices.py): each probe is a separate
+            # program, and compiling them through the axon TPU tunnel cost
+            # ~360 s of the driver bench's 387 s wall-clock (round-4
+            # measurement) for what is milliseconds of host compute.
+            with probes_on_cpu():
+                offband = validate_time_structure(pg, structure)
+                if offband < 1e-8:
+                    import dataclasses as _dc
 
-                rows = build_row_time_structure(pg, structure)
-                if rows is not None:
-                    structure = structure._replace(
-                        row_permutation=rows[0], rows_per_block=rows[1]
-                    )
-                mcp = _dc.replace(pg.mcp, time_structure=structure)
-                if affine_bands and structure.row_permutation is not None:
-                    from ..kernels.block_tridiag import build_affine_bands
+                    rows = build_row_time_structure(pg, structure)
+                    if rows is not None:
+                        structure = structure._replace(
+                            row_permutation=rows[0], rows_per_block=rows[1]
+                        )
+                    mcp = _dc.replace(pg.mcp, time_structure=structure)
+                    if affine_bands and structure.row_permutation is not None:
+                        from ..kernels.block_tridiag import build_affine_bands
 
-                    ab = build_affine_bands(
-                        mcp, structure, sum(pg.dims.theta)
+                        ab = build_affine_bands(
+                            mcp, structure, sum(pg.dims.theta)
+                        )
+                        if ab is not None:
+                            mcp = _dc.replace(mcp, affine_bands=ab)
+                    pg = ParametricGame(
+                        problems=pg.problems,
+                        shared_equality=pg.shared_equality,
+                        shared_inequality=pg.shared_inequality,
+                        dims=pg.dims,
+                        mcp=mcp,
                     )
-                    if ab is not None:
-                        mcp = _dc.replace(mcp, affine_bands=ab)
-                pg = ParametricGame(
-                    problems=pg.problems,
-                    shared_equality=pg.shared_equality,
-                    shared_inequality=pg.shared_inequality,
-                    dims=pg.dims,
-                    mcp=mcp,
-                )
     return pg

@@ -41,6 +41,9 @@ else:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from mcp_tpu.utils.devices import enable_host_probe_backend
+
+    enable_host_probe_backend()  # builder probes compile locally, not via tunnel
 
 from mcp_tpu.bench import lane_change as lc
 from mcp_tpu.parallel.batch import batch_statistics, solve_batch

@@ -52,6 +52,9 @@ def main() -> None:
             ),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from mcp_tpu.utils.devices import enable_host_probe_backend
+
+        enable_host_probe_backend()  # builder probes compile locally
     import jax.numpy as jnp
 
     phase(f"jax ready, device {jax.devices()[0]}")

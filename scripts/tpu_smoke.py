@@ -50,6 +50,9 @@ else:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from mcp_tpu.utils.devices import enable_host_probe_backend
+
+    enable_host_probe_backend()  # builder probes compile locally, not via tunnel
 
 import jax.numpy as jnp
 import numpy as np

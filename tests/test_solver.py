@@ -270,3 +270,68 @@ class TestLinesearchPair:
             v, dv, tau=0.995, decay=0.5, min_stepsize=1e-4
         )
         assert bool(jnp.all(jnp.isnan(a)))
+
+
+class TestAffineFastPath:
+    """Constant-Jacobian (affine) fast path: the solver hoists the Jacobian
+    extraction out of the Newton loop when mcp.affine is set (the dense
+    analog of the trajectory games' affine_bands; VERDICT r3 item 2)."""
+
+    def _qp(self, n=8, m=6):
+        from mcp_tpu.bench import qp
+
+        problem = qp.generate_test_problem(num_primals=n, num_inequalities=m)
+        # sparsity_rate=0 (dense): at these tiny dims the reference's 0.9
+        # Bernoulli masking zeroes whole constraint rows, making every
+        # instance infeasible (zero row of A with b_i > 0).
+        theta = qp.generate_random_parameter(
+            jax.random.PRNGKey(3),
+            num_primals=n,
+            num_inequalities=m,
+            sparsity_rate=0.0,
+            dtype=jnp.float64,
+        )
+        return problem.mcp, theta
+
+    def test_qp_bench_is_affine(self):
+        from mcp_tpu.mcp import verify_affine
+
+        mcp, theta = self._qp()
+        assert mcp.affine
+        assert verify_affine(mcp, theta)
+
+    def test_nonaffine_detected(self):
+        from mcp_tpu.mcp import verify_affine
+
+        mcp = PrimalDualMCP.from_gh(
+            lambda x, y, t: x**2 - t,
+            lambda x, y, t: x + 1.0,
+            unconstrained_dimension=2,
+            constrained_dimension=2,
+            parameter_dimension=2,
+        )
+        assert not verify_affine(mcp, jnp.ones(2))
+
+    @pytest.mark.parametrize("algorithm", ["ip", "mehrotra"])
+    def test_matches_generic_path(self, algorithm):
+        import dataclasses
+
+        mcp, theta = self._qp()
+        slow = dataclasses.replace(mcp, affine=False)
+        opts = dict(
+            tol=1e-6, linear_solver="schur", algorithm=algorithm, polish=True
+        )
+        fast_sol = mcp_tpu.solve(mcp, theta, **opts)
+        slow_sol = mcp_tpu.solve(slow, theta, **opts)
+        assert int(fast_sol.status) == SOLVED
+        assert int(slow_sol.status) == SOLVED
+        np.testing.assert_allclose(fast_sol.x, slow_sol.x, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(fast_sol.y, slow_sol.y, rtol=1e-5, atol=1e-6)
+
+    def test_polish_certifies_affine(self):
+        mcp, theta = self._qp()
+        sol = mcp_tpu.solve(
+            mcp, theta, tol=1e-6, linear_solver="condensed", polish=True
+        )
+        assert int(sol.status) == SOLVED
+        assert float(sol.kkt_error) <= 1e-6
