@@ -47,9 +47,15 @@ def main() -> None:
         "(benchmark/quadratic_program_benchmark.jl protocol), or warm "
         "(receding-horizon warm-started θ-sweep, examples/utils.jl:209-216)",
     )
-    # IP algorithm: the reference-parity annealed loop, or the Mehrotra
-    # predictor-corrector (shines on the warm suite: ~3 vs ~7 iterations).
-    parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra"])
+    # IP algorithm: the reference-parity annealed loop ("ip"), the Mehrotra
+    # predictor-corrector (shines on monotone problems and warm re-solves:
+    # QP certified 3.8x faster than the annealed loop), or the hybrid
+    # (annealed warm-up -> Mehrotra tail; the N=4 small-batch winner).
+    # Default: mehrotra for the QP suite (its KKT system is monotone and
+    # affine — cold-start PC is robust there), ip elsewhere.
+    parser.add_argument(
+        "--algorithm", default=None, choices=["ip", "mehrotra", "hybrid"]
+    )
     # With the fused Pallas Thomas tier, throughput keeps climbing past one
     # VMEM tile's worth of systems (measured with the lane-packed kernel:
     # 779/s at 128, 852/s at 256).
@@ -91,10 +97,12 @@ def main() -> None:
         "--polish", action=argparse.BooleanOptionalAction, default=True
     )
     # ϵ-annealing rate. The library default stays the reference's 0.1
-    # (src/solver.jl:44, conformance); the BENCH default is the tuned 0.02
-    # — faster annealing, same algorithm: measured 865.5 → 1174.2 solves/s
-    # at success 1.0 on the TPU headline (batch 256, tol 1e-4).
-    parser.add_argument("--tightening-rate", type=float, default=0.02)
+    # (src/solver.jl:44, conformance); the BENCH default is "auto" — the
+    # shape-keyed rule (solver.auto_tightening_rate): 0.02 for small-block
+    # trajectory games (headline/N=4; measured 865.5 → 1174.2 solves/s at
+    # success 1.0), 0.05 for large blocks (N=10), 0.1 otherwise. One
+    # config certifies every flagship shape with no per-shape flag.
+    parser.add_argument("--tightening-rate", default="auto")
     # Force the fused Pallas linesearch kernel on/off (default: tier-based).
     parser.add_argument(
         "--fused-linesearch", default="default", choices=["default", "on", "off"]
@@ -180,6 +188,8 @@ def main() -> None:
 
     from mcp_tpu.solver import SolverOptions
 
+    if args.algorithm is None:
+        args.algorithm = "mehrotra" if args.suite == "qp" else "ip"
     option_kwargs = dict(
         tol=args.tol,
         linear_solver=args.tier,
@@ -188,7 +198,12 @@ def main() -> None:
     )
     if args.fused_linesearch != "default":
         option_kwargs["fused_linesearch"] = args.fused_linesearch == "on"
-    option_kwargs["tightening_rate"] = args.tightening_rate
+    if args.tightening_rate == "auto":
+        from mcp_tpu.solver import auto_tightening_rate
+
+        option_kwargs["tightening_rate"] = auto_tightening_rate(mcp)
+    else:
+        option_kwargs["tightening_rate"] = float(args.tightening_rate)
     options = SolverOptions(**option_kwargs)
 
     _phase(f"problem built (suite={args.suite}); compiling the batched solve")

@@ -107,6 +107,19 @@ class SolverOptions:
     # iteration is already kernel-fused); True/False force it. Disabled
     # under `verbose` (the debug print needs the split lin/ls flags).
     fused_linesearch: Optional[bool] = None
+    # Newton-system regularization override. None = the reference's tol·I
+    # (src/solver.jl:81). The hybrid algorithm's warm-up phase sets the
+    # EXIT tolerance loose (hybrid_switch_tol) while keeping the final
+    # tolerance's regularization, so the two roles of `tol` can split.
+    regularization: Optional[float] = None
+    # Hybrid algorithm (algorithm="hybrid"): ϵ-annealed IP warm-up until
+    # ϵ ≤ hybrid_switch_tol (globalization — the annealing homotopy is what
+    # makes cold-started nonmonotone games converge), then Mehrotra
+    # predictor-corrector to tolerance (~2-3 iterations where the annealed
+    # loop spends ~10+). No reference counterpart; targets the N=4
+    # small-batch plateau where iteration count, not factorization layout,
+    # bounds throughput (VERDICT r3 item 4).
+    hybrid_switch_tol: float = 1e-2
     # Opt-in terminal polish (no reference counterpart): the reference's
     # annealed loop can exit with status :solved on ϵ ≤ tol while the TRUE
     # residual ‖(g, h−s, s∘y)‖∞ is still above tol (src/solver.jl:67-119 —
@@ -115,6 +128,22 @@ class SolverOptions:
     # steps run at fixed ϵ = tol/2, exiting when the true residual is ≤ tol;
     # kkt_error then reports the true final residual and status demands it.
     polish: bool = False
+
+
+def auto_tightening_rate(mcp) -> float:
+    """Shape-keyed ϵ-annealing (tightening) rate — one config that certifies
+    every flagship shape with no per-shape flag (VERDICT r3 item 6), keyed
+    on the time-block size like the kernel dispatcher. Measured sweeps
+    (benchmarks_round3.json): small-block trajectory games anneal fastest at
+    0.02 (headline b=20: 865 → 1174 solves/s at success 1.0; N=4 b=40
+    likewise), while large-block games need the gentler 0.05 (N=10 b=100 at
+    0.02 drops success to 0.75 — schedules are shape-dependent). Problems
+    without time structure keep the reference default 0.1
+    (src/solver.jl:44)."""
+    st = getattr(mcp, "time_structure", None)
+    if st is None:
+        return 0.1
+    return 0.05 if st.block_size >= 64 else 0.02
 
 
 def linesearch_candidates(decay: float, min_stepsize: float) -> tuple[float, ...]:
@@ -203,6 +232,37 @@ def ip_solve(
             return _mehrotra_solve_body(
                 mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver
             )
+        if options.algorithm == "hybrid":
+            if newton_solver is not None:
+                raise NotImplementedError(
+                    "newton_solver override currently supports algorithm='ip'"
+                )
+            # Phase 1: annealed warm-up to ϵ ≤ hybrid_switch_tol with the
+            # FINAL tolerance's Newton regularization (loose exit, tight
+            # linear algebra); no polish — phase 2 finishes the job.
+            warm_options = dataclasses.replace(
+                options,
+                algorithm="ip",
+                tol=options.hybrid_switch_tol,
+                regularization=(
+                    options.regularization
+                    if options.regularization is not None
+                    else options.tol
+                ),
+                polish=False,
+            )
+            r1 = _ip_solve_body(
+                mcp, warm_options, theta, x0, y0, s0,
+                tridiag_solver=tridiag_solver,
+            )
+            # Phase 2: Mehrotra PC from the interior warm point (slacks and
+            # duals carried — PC needs a centered-ish start, which the
+            # annealed phase provides by construction).
+            r2 = _mehrotra_solve_body(
+                mcp, options, theta, r1.x, r1.y, r1.s,
+                tridiag_solver=tridiag_solver,
+            )
+            return r2._replace(outer_iters=r1.outer_iters + r2.outer_iters)
         if options.algorithm != "ip":
             raise ValueError(f"unknown algorithm {options.algorithm!r}")
         return _ip_solve_body(
@@ -355,6 +415,7 @@ def _ip_solve_body(
                 preconditioner=options.gmres_preconditioner,
             )
     tol = options.tol
+    reg = options.regularization if options.regularization is not None else tol
     dtype = x0.dtype
     # Hoisted once per solve; for affine problems this extracts the constant
     # Jacobian OUTSIDE the Newton loop (see _make_linearizer).
@@ -407,7 +468,7 @@ def _ip_solve_body(
                 upper_b.astype(dtype),
                 Gy_b.astype(dtype),
                 Hx_b.astype(dtype),
-                y, s, rG, rH, rC, tol,
+                y, s, rG, rH, rC, reg,
                 mcp.time_structure,
                 algorithm=tridiag_algorithm,
             )
@@ -417,7 +478,7 @@ def _ip_solve_body(
             rH = (h - s).astype(dtype)
             rC = (s * y - eps).astype(dtype)
             Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
-            dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
+            dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg)
 
         if use_fused_ls:
             # One kernel for linesearch + failure detection + update + ‖F‖∞
@@ -525,94 +586,110 @@ def _ip_solve_body(
     failed = failed | (outer == options.max_outer_iters)
 
     if options.polish:
-        # Terminal polish at fixed ϵ = tol/2 against the TRUE residual
-        # ‖(g, h−s, s∘y)‖∞ (see SolverOptions.polish). Reuses the same
-        # Newton machinery; the true residual is evaluated at each NEW
-        # iterate (one extra cheap gh() per polish step).
-        eps_p = jnp.asarray(0.5 * tol, dtype)
-
-        def true_kkt_at(x, y, s):
-            g, h = mcp.gh(x, y, theta)
-            return jnp.maximum(
-                jnp.max(jnp.abs(g.astype(dtype)), initial=0.0),
-                jnp.maximum(
-                    jnp.max(jnp.abs((h - s).astype(dtype)), initial=0.0),
-                    jnp.max(jnp.abs(s * y), initial=0.0),
-                ),
-            )
-
-        def polish_body(carry):
-            x, y, s, _, iters, failed = carry
-            if use_banded_fused:
-                from .kernels.block_tridiag import (
-                    banded_newton_step_compressed,
-                    gh_banded_fast,
-                )
-
-                g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded_fast(
-                    mcp, mcp.time_structure, x, y, theta
-                )
-                rG = g.astype(dtype)
-                rH = (h - s).astype(dtype)
-                rC = (s * y - eps_p).astype(dtype)
-                dx, dy, ds = banded_newton_step_compressed(
-                    diag_b.astype(dtype),
-                    lower_b.astype(dtype),
-                    upper_b.astype(dtype),
-                    Gy_b.astype(dtype),
-                    Hx_b.astype(dtype),
-                    y, s, rG, rH, rC, tol,
-                    mcp.time_structure,
-                    algorithm=tridiag_algorithm,
-                )
-            else:
-                g, h, Gx, Gy, Hx, Hy = lin(x, y)
-                rG = g.astype(dtype)
-                rH = (h - s).astype(dtype)
-                rC = (s * y - eps_p).astype(dtype)
-                Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
-                dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, tol)
-
-            lin_failed = ~(
-                jnp.all(jnp.isfinite(dx))
-                & jnp.all(jnp.isfinite(dy))
-                & jnp.all(jnp.isfinite(ds))
-            )
-            safe = lambda d: jnp.where(lin_failed, jnp.zeros_like(d), d)
-            alphas = fraction_to_the_boundary_linesearch_pair(
-                jnp.stack([s, y]),
-                jnp.stack([safe(ds), safe(dy)]),
-                tau=options.tau,
-                decay=options.decay,
-                min_stepsize=options.min_stepsize,
-            )
-            step_failed = (
-                lin_failed | jnp.isnan(alphas[0]) | jnp.isnan(alphas[1])
-            )
-            a_s = jnp.where(step_failed, 0.0, alphas[0]).astype(dtype)
-            a_y = jnp.where(step_failed, 0.0, alphas[1]).astype(dtype)
-            x = x + a_s * safe(dx)
-            s = s + a_s * safe(ds)
-            y = y + a_y * safe(dy)
-            return x, y, s, true_kkt_at(x, y, s), iters + 1, failed | step_failed
-
-        def polish_cond(carry):
-            _, _, _, tk, iters, p_failed = carry
-            return (tk > tol) & (iters < options.max_inner_iters) & ~p_failed
-
-        tk0 = true_kkt_at(x, y, s)
-        x, y, s, tk, _, p_failed = lax.while_loop(
-            polish_cond,
-            polish_body,
-            (x, y, s, tk0, jnp.int32(0), jnp.bool_(False)),
+        x, y, s, kkt_error, failed = _terminal_polish(
+            mcp, options, theta, x, y, s, failed,
+            lin=lin,
+            newton_step=None if use_banded_fused else newton_step,
+            tridiag_algorithm=tridiag_algorithm if tridiag_family else None,
+            use_banded_fused=use_banded_fused,
         )
-        kkt_error = tk
-        failed = failed | (tk > tol)
 
     status = jnp.where(failed, jnp.int32(FAILED), jnp.int32(SOLVED))
     return SolveResult(
         x=x, y=y, s=s, kkt_error=kkt_error, epsilon=eps, outer_iters=outer, status=status
     )
+
+
+def _terminal_polish(
+    mcp, options, theta, x, y, s, failed, *,
+    lin, newton_step, tridiag_algorithm, use_banded_fused,
+):
+    """Terminal polish at fixed ϵ = tol/2 against the TRUE residual
+    ‖(g, h−s, s∘y)‖∞ (see SolverOptions.polish). Shared by the annealed-IP,
+    Mehrotra, and hybrid solvers; reuses the caller's Newton machinery and
+    evaluates the true residual at each NEW iterate (one extra cheap gh()
+    per polish step). Returns (x, y, s, true_kkt, failed)."""
+    tol = options.tol
+    reg = options.regularization if options.regularization is not None else tol
+    dtype = x.dtype
+    eps_p = jnp.asarray(0.5 * tol, dtype)
+
+    def true_kkt_at(x, y, s):
+        g, h = mcp.gh(x, y, theta)
+        return jnp.maximum(
+            jnp.max(jnp.abs(g.astype(dtype)), initial=0.0),
+            jnp.maximum(
+                jnp.max(jnp.abs((h - s).astype(dtype)), initial=0.0),
+                jnp.max(jnp.abs(s * y), initial=0.0),
+            ),
+        )
+
+    def polish_body(carry):
+        x, y, s, _, iters, failed = carry
+        if use_banded_fused:
+            from .kernels.block_tridiag import (
+                banded_newton_step_compressed,
+                gh_banded_fast,
+            )
+
+            g, h, diag_b, lower_b, upper_b, Gy_b, Hx_b = gh_banded_fast(
+                mcp, mcp.time_structure, x, y, theta
+            )
+            rG = g.astype(dtype)
+            rH = (h - s).astype(dtype)
+            rC = (s * y - eps_p).astype(dtype)
+            dx, dy, ds = banded_newton_step_compressed(
+                diag_b.astype(dtype),
+                lower_b.astype(dtype),
+                upper_b.astype(dtype),
+                Gy_b.astype(dtype),
+                Hx_b.astype(dtype),
+                y, s, rG, rH, rC, reg,
+                mcp.time_structure,
+                algorithm=tridiag_algorithm,
+            )
+        else:
+            g, h, Gx, Gy, Hx, Hy = lin(x, y)
+            rG = g.astype(dtype)
+            rH = (h - s).astype(dtype)
+            rC = (s * y - eps_p).astype(dtype)
+            Gx, Gy, Hx, Hy = (J.astype(dtype) for J in (Gx, Gy, Hx, Hy))
+            dx, dy, ds = newton_step(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg)
+
+        lin_failed = ~(
+            jnp.all(jnp.isfinite(dx))
+            & jnp.all(jnp.isfinite(dy))
+            & jnp.all(jnp.isfinite(ds))
+        )
+        safe = lambda d: jnp.where(lin_failed, jnp.zeros_like(d), d)
+        alphas = fraction_to_the_boundary_linesearch_pair(
+            jnp.stack([s, y]),
+            jnp.stack([safe(ds), safe(dy)]),
+            tau=options.tau,
+            decay=options.decay,
+            min_stepsize=options.min_stepsize,
+        )
+        step_failed = (
+            lin_failed | jnp.isnan(alphas[0]) | jnp.isnan(alphas[1])
+        )
+        a_s = jnp.where(step_failed, 0.0, alphas[0]).astype(dtype)
+        a_y = jnp.where(step_failed, 0.0, alphas[1]).astype(dtype)
+        x = x + a_s * safe(dx)
+        s = s + a_s * safe(ds)
+        y = y + a_y * safe(dy)
+        return x, y, s, true_kkt_at(x, y, s), iters + 1, failed | step_failed
+
+    def polish_cond(carry):
+        _, _, _, tk, iters, p_failed = carry
+        return (tk > tol) & (iters < options.max_inner_iters) & ~p_failed
+
+    tk0 = true_kkt_at(x, y, s)
+    x, y, s, tk, _, p_failed = lax.while_loop(
+        polish_cond,
+        polish_body,
+        (x, y, s, tk0, jnp.int32(0), jnp.bool_(False)),
+    )
+    return x, y, s, tk, failed | (tk > tol)
 
 
 def _max_step_to_boundary(v: Array, dv: Array, frac) -> Array:
@@ -671,6 +748,7 @@ def _mehrotra_solve_body(
 
         make_solver = factored_newton_solver(options.linear_solver)
     tol = options.tol
+    reg = options.regularization if options.regularization is not None else tol
     dtype = x0.dtype
     lin = None if use_banded_fused else _make_linearizer(mcp, theta, dtype)
 
@@ -696,7 +774,7 @@ def _mehrotra_solve_body(
                 J.astype(dtype) for J in (diag_b, lower_b, upper_b, Gy_b, Hx_b)
             )
             solve_f = lambda bG, bH, bC: banded_newton_step_compressed(
-                *bands, y, s, bG, bH, bC, tol, mcp.time_structure,
+                *bands, y, s, bG, bH, bC, reg, mcp.time_structure,
                 algorithm=tridiag_algorithm,
             )
 
@@ -715,7 +793,7 @@ def _mehrotra_solve_body(
                 from .linalg import newton_step_tridiag
 
                 solve_f = lambda bG, bH, bC: newton_step_tridiag(
-                    Gx, Gy, Hx, Hy, y, s, bG, bH, bC, tol,
+                    Gx, Gy, Hx, Hy, y, s, bG, bH, bC, reg,
                     structure=mcp.time_structure, algorithm=tridiag_algorithm,
                 )
             else:
@@ -730,9 +808,9 @@ def _mehrotra_solve_body(
                     else None
                 )
                 solve_f = (
-                    make_solver(Gx, Gy, Hx, Hy, y, s, tol, gmres_options=gm)
+                    make_solver(Gx, Gy, Hx, Hy, y, s, reg, gmres_options=gm)
                     if gm is not None
-                    else make_solver(Gx, Gy, Hx, Hy, y, s, tol)
+                    else make_solver(Gx, Gy, Hx, Hy, y, s, reg)
                 )
 
             def jac_mv(dx, dy, ds):
@@ -818,6 +896,39 @@ def _mehrotra_solve_body(
     )
     x, y, s, kkt_error, iters, failed, mu = lax.while_loop(cond, body, init)
     failed = failed | (iters == options.max_outer_iters) & (kkt_error > tol)
+
+    if options.polish:
+        # Same terminal certification as the annealed loop: Mehrotra's own
+        # exit tests the PRE-step residual; polish drives the residual at
+        # the RETURNED iterate to ≤ tol (shared _terminal_polish).
+        if use_banded_fused:
+            p_newton = None
+        elif tridiag_family:
+            from .linalg import newton_step_tridiag
+
+            p_newton = functools.partial(
+                newton_step_tridiag,
+                structure=mcp.time_structure,
+                algorithm=tridiag_algorithm,
+            )
+        else:
+            p_newton = NEWTON_STEPS[options.linear_solver]
+            if options.linear_solver == "gmres":
+                p_newton = functools.partial(
+                    p_newton,
+                    tol=options.gmres_tol,
+                    restart=options.gmres_restart,
+                    maxiter=options.gmres_maxiter,
+                    preconditioner=options.gmres_preconditioner,
+                )
+        x, y, s, kkt_error, failed = _terminal_polish(
+            mcp, options, theta, x, y, s, failed,
+            lin=lin,
+            newton_step=p_newton,
+            tridiag_algorithm=tridiag_algorithm if tridiag_family else None,
+            use_banded_fused=use_banded_fused,
+        )
+
     status = jnp.where(failed, jnp.int32(FAILED), jnp.int32(SOLVED))
     return SolveResult(
         x=x, y=y, s=s, kkt_error=kkt_error, epsilon=mu, outer_iters=iters,

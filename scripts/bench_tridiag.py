@@ -25,7 +25,16 @@ parser.add_argument("--tol", type=float, default=1e-4)
 # ϵ-annealing rate: default stays the reference schedule (0.1,
 # src/solver.jl:44); the headline bench's tuned 0.02 anneals faster at the
 # same algorithm (certification via --polish keeps it honest).
-parser.add_argument("--tightening-rate", type=float, default=0.1)
+# "auto" = the shape-keyed rule (solver.auto_tightening_rate); a float
+# forces a specific rate (the reference default is 0.1, src/solver.jl:44).
+parser.add_argument("--tightening-rate", default="auto")
+# IP algorithm: "ip" (reference-parity annealed loop), "mehrotra", or
+# "hybrid" (annealed warm-up -> Mehrotra tail — the measured N=4 b=8
+# winner: 494 vs 726 ms/batch-8 on CPU, certified). refinement-steps=0
+# skips the PC iterative-refinement back-solves (polish re-certifies).
+parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra", "hybrid"])
+parser.add_argument("--refinement-steps", type=int, default=1)
+parser.add_argument("--hybrid-switch-tol", type=float, default=3e-2)
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -56,11 +65,21 @@ print("device:", jax.devices()[0])
 
 def bench(mcp, thetas, tier, x0=None, repeats=None):
     repeats = repeats if repeats is not None else args.repeats
+    from mcp_tpu.solver import auto_tightening_rate
+
+    rate = (
+        auto_tightening_rate(mcp)
+        if args.tightening_rate == "auto"
+        else float(args.tightening_rate)
+    )
     opts = SolverOptions(
         linear_solver=tier,
         polish=args.polish,
         tol=args.tol,
-        tightening_rate=args.tightening_rate,
+        tightening_rate=rate,
+        algorithm=args.algorithm,
+        refinement_steps=args.refinement_steps,
+        hybrid_switch_tol=args.hybrid_switch_tol,
     )
     sol = solve_batch(mcp, thetas, x0=x0, options=opts)
     jax.block_until_ready(sol.x)

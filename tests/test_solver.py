@@ -335,3 +335,76 @@ class TestAffineFastPath:
         )
         assert int(sol.status) == SOLVED
         assert float(sol.kkt_error) <= 1e-6
+
+
+class TestHybridAlgorithm:
+    """algorithm="hybrid": annealed warm-up to hybrid_switch_tol, then
+    Mehrotra PC to tolerance (solver.py; VERDICT r3 item 4 — iteration-count
+    lever for the small-batch flagships)."""
+
+    def test_solves_qp_oracle(self):
+        sol = mcp_tpu.solve(
+            make_gh_mcp(), THETA, algorithm="hybrid", polish=True
+        )
+        check_solution(sol)
+
+    def test_certifies_at_tol(self):
+        sol = mcp_tpu.solve(
+            make_gh_mcp(), THETA, algorithm="hybrid", polish=True, tol=1e-6
+        )
+        assert int(sol.status) == SOLVED
+        assert float(sol.kkt_error) <= 1e-6
+
+    def test_lane_change_certifies(self):
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        thetas = lc.generate_parameter_batch(
+            jax.random.PRNGKey(5), 4, bench, dtype=jnp.float32
+        )
+        r = solve_batch(
+            mcp,
+            thetas,
+            options=SolverOptions(
+                linear_solver="tridiag",
+                algorithm="hybrid",
+                tightening_rate=0.02,
+                refinement_steps=0,
+                hybrid_switch_tol=3e-2,
+                polish=True,
+            ),
+        )
+        assert np.all(np.asarray(r.status) == SOLVED)
+        assert float(jnp.max(r.kkt_error)) <= 1e-4
+
+
+class TestMehrotraPolish:
+    def test_polish_certifies_true_residual(self):
+        sol = mcp_tpu.solve(
+            make_gh_mcp(), THETA, algorithm="mehrotra", polish=True, tol=1e-6
+        )
+        assert int(sol.status) == SOLVED
+        # kkt_error is the recomputed TRUE residual after polish.
+        assert float(sol.kkt_error) <= 1e-6
+
+
+class TestRegularizationOverride:
+    def test_override_still_solves(self):
+        sol = mcp_tpu.solve(
+            make_gh_mcp(), THETA, regularization=1e-7, polish=True
+        )
+        check_solution(sol)
+
+
+class TestAutoTighteningRate:
+    def test_shape_keyed_rule(self):
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.solver import auto_tightening_rate
+
+        assert auto_tightening_rate(make_gh_mcp()) == 0.1  # no time structure
+        bench = lc.generate_test_problem(horizon=10)
+        # headline block size 20 < 64 -> fast anneal
+        assert auto_tightening_rate(bench.parametric_game.mcp) == 0.02
