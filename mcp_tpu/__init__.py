@@ -13,8 +13,8 @@ Public interface parity: the reference exports ``PrimalDualMCP, solve,
 ParametricGame, OptimizationProblem`` (src/MixedComplementarityProblems.jl:16).
 """
 
-from .mcp import PrimalDualMCP
-from .solver import SolverOptions
+from .mcp import PrimalDualMCP, verify_affine
+from .solver import SolverOptions, auto_tightening_rate
 from .types import FAILED, SOLVED, SolveResult
 from .diff import solve, solve_jacobian_theta
 from .games import (
@@ -34,6 +34,8 @@ __all__ = [
     "FAILED",
     "solve",
     "solve_jacobian_theta",
+    "verify_affine",
+    "auto_tightening_rate",
     "OptimizationProblem",
     "ParametricGame",
     "game_to_mcp",
