@@ -56,6 +56,11 @@ def main() -> None:
     parser.add_argument(
         "--algorithm", default=None, choices=["ip", "mehrotra", "hybrid"]
     )
+    # Mehrotra/hybrid iterative-refinement back-solves per Newton solve.
+    # Default: 0 for the QP suite (polish already certifies the terminal
+    # residual; refinement doubles the per-iteration factorization count
+    # for nothing there), 1 elsewhere (the N=10 certification needs it).
+    parser.add_argument("--refinement-steps", type=int, default=None)
     # With the fused Pallas Thomas tier, throughput keeps climbing past one
     # VMEM tile's worth of systems (measured with the lane-packed kernel:
     # 779/s at 128, 852/s at 256).
@@ -143,7 +148,9 @@ def main() -> None:
         # probe compiles (utils/devices.py).
         from mcp_tpu.utils.devices import enable_host_probe_backend
 
-        enable_host_probe_backend()
+        ok = enable_host_probe_backend()
+        _phase(f"cpu probe backend available: {ok}")
+        os.environ.setdefault("MCPTPU_BUILD_TRACE", "1")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -190,11 +197,14 @@ def main() -> None:
 
     if args.algorithm is None:
         args.algorithm = "mehrotra" if args.suite == "qp" else "ip"
+    if args.refinement_steps is None:
+        args.refinement_steps = 0 if args.suite == "qp" else 1
     option_kwargs = dict(
         tol=args.tol,
         linear_solver=args.tier,
         algorithm=args.algorithm,
         polish=args.polish,
+        refinement_steps=args.refinement_steps,
     )
     if args.fused_linesearch != "default":
         option_kwargs["fused_linesearch"] = args.fused_linesearch == "on"

@@ -252,6 +252,21 @@ def build_parametric_game(
     linearize then costs one residual evaluation (block_tridiag.AffineBands).
     Non-quadratic games fail the probe and keep the colored-seed path.
     """
+    import os
+    import sys
+    import time as _time
+
+    _trace = os.environ.get("MCPTPU_BUILD_TRACE")
+    _t0 = _time.perf_counter()
+
+    def _mark(step: str) -> None:
+        if _trace:
+            print(
+                f"[build +{_time.perf_counter() - _t0:6.1f}s] {step}",
+                file=sys.stderr,
+                flush=True,
+            )
+
     dynamics = game.dynamics
     N = game.num_players
     primal_blocking = trajectory_blocking(dynamics, horizon)
@@ -264,6 +279,7 @@ def build_parametric_game(
         jnp.zeros(dynamics.state_dim(i) + params_per_player) for i in range(N)
     ]
 
+    _mark("objectives/constraints built; creating ParametricGame (game_to_mcp)")
     pg = ParametricGame.create(
         test_point=test_point,
         test_parameter=test_parameter,
@@ -273,6 +289,7 @@ def build_parametric_game(
         compute_sensitivities=compute_sensitivities,
     )
 
+    _mark("ParametricGame created")
     if time_structure:
         from ..utils.devices import probes_on_cpu
 
@@ -286,10 +303,12 @@ def build_parametric_game(
             # measurement) for what is milliseconds of host compute.
             with probes_on_cpu():
                 offband = validate_time_structure(pg, structure)
+                _mark("time-structure bandwidth validated")
                 if offband < 1e-8:
                     import dataclasses as _dc
 
                     rows = build_row_time_structure(pg, structure)
+                    _mark("row time structure assigned")
                     if rows is not None:
                         structure = structure._replace(
                             row_permutation=rows[0], rows_per_block=rows[1]
@@ -301,6 +320,7 @@ def build_parametric_game(
                         ab = build_affine_bands(
                             mcp, structure, sum(pg.dims.theta)
                         )
+                        _mark("affine bands probed/built")
                         if ab is not None:
                             mcp = _dc.replace(mcp, affine_bands=ab)
                     pg = ParametricGame(
@@ -310,4 +330,5 @@ def build_parametric_game(
                         dims=pg.dims,
                         mcp=mcp,
                     )
+    _mark("build done")
     return pg

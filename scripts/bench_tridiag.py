@@ -35,6 +35,9 @@ parser.add_argument("--tightening-rate", default="auto")
 parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra", "hybrid"])
 parser.add_argument("--refinement-steps", type=int, default=1)
 parser.add_argument("--hybrid-switch-tol", type=float, default=3e-2)
+# In-graph device-rate measurement (one fori_loop dispatch over 3 fresh
+# batches) in addition to the per-dispatch host timing.
+parser.add_argument("--ingraph", action="store_true")
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -117,6 +120,30 @@ def bench(mcp, thetas, tier, x0=None, repeats=None):
     suspect = forced > 3.0 * med + 0.05
     if suspect:
         med = forced
+    # Device rate: the same solve repeated over fresh theta batches inside
+    # ONE fori_loop dispatch (harness._ingraph_repeat_solver) — amortizes
+    # the ~14-30 ms tunnel dispatch that dominates small-batch per-dispatch
+    # numbers (N=4 b=8: 43 ms/batch of which most is dispatch latency).
+    ingraph_t = float("nan")
+    if args.ingraph:
+        from mcp_tpu.bench.harness import _ingraph_repeat_solver
+
+        R = 3
+        stack = jnp.stack([
+            thetas + 1e-4 * jax.random.normal(
+                jax.random.PRNGKey(200 + r), thetas.shape, thetas.dtype)
+            for r in range(R)
+        ])
+        B0 = thetas.shape[0]
+        n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+        xi = x0 if x0 is not None else jnp.zeros((B0, n), thetas.dtype)
+        fn = _ingraph_repeat_solver(mcp, opts, R)
+        yi = jnp.ones((B0, m), thetas.dtype)
+        si = jnp.ones((B0, m), thetas.dtype)
+        fn(stack, xi, yi, si).block_until_ready()
+        t0 = time.perf_counter()
+        fn(stack, xi, yi, si).block_until_ready()
+        ingraph_t = (time.perf_counter() - t0) / R
     stats = batch_statistics(sol)
     B = thetas.shape[0]
     extra = " FORCED-TIMING (buffer-block under-waited)" if suspect else ""
@@ -130,6 +157,11 @@ def bench(mcp, thetas, tier, x0=None, repeats=None):
         frac = float(np.mean(kkts <= args.tol))
         kmax = float(np.max(kkts[solved])) if solved.any() else float("nan")
         extra += f" true_kkt_max={kmax:.2e} frac_at_tol={frac:.3f}"
+    if ingraph_t == ingraph_t:
+        extra += (
+            f" device_rate={B / ingraph_t:.2f}/s"
+            f" (in-graph {ingraph_t*1e3:.1f} ms/batch)"
+        )
     print(
         f"  {tier:10s}: {B / med:9.2f} solves/s  "
         f"({med*1e3:8.1f} ms/batch-{B})  success={stats['success_rate']:.2f} "
