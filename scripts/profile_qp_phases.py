@@ -144,6 +144,20 @@ with jax.default_matmul_precision("highest"):
 
         return jax.vmap(gauss_solve)(A, b) if A.ndim == 3 else gauss_solve(A, b)
 
+    def gauss_bigtile(A, b):
+        # One grid step for the whole batch: the serial reflector chain runs
+        # once (n steps) instead of once per VMEM tile (grid·n steps).
+        from mcp_tpu.kernels.linear_solve import pallas_qr_solve_fused
+
+        return pallas_qr_solve_fused(A, b, vmem_budget_bytes=48 * 2**20)
+
+    def wy(A, b):
+        # Blocked-panel WY QR: trailing updates on the MXU; at n=100 the
+        # panel structure may win where it lost at lane-change block sizes.
+        from mcp_tpu.kernels.linear_solve import pallas_wy_solve
+
+        return pallas_wy_solve(A, b, batch_tile=32, panel=8)
+
     # -- phase: one full Newton inner iteration (affine, schur_pallas) ------
     def make_full_iter():
         from mcp_tpu.linalg import newton_step_schur_pallas
@@ -171,6 +185,10 @@ with jax.default_matmul_precision("highest"):
     timed("residual (affine)", make_affine_residual, flops_res)
     timed("schur assembly", make_schur_assembly, flops_asm)
     timed("solve: gauss_pallas", lambda: make_solver_phase(gauss), flops_gauss)
+    timed("solve: gauss 48M tile", lambda: make_solver_phase(gauss_bigtile),
+          flops_gauss)
+    timed("solve: wy blocked p8", lambda: make_solver_phase(wy),
+          8 * B * n * n * n)
     timed(
         "solve: xla lu",
         lambda: make_solver_phase(

@@ -118,6 +118,7 @@ def measure_banded_iter(mcp, thetas, B, iters):
         banded_newton_step_compressed,
         gh_banded_fast,
     )
+    from mcp_tpu.kernels.thomas_pallas import auto_thomas_solve
 
     st = mcp.time_structure
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
@@ -136,7 +137,10 @@ def measure_banded_iter(mcp, thetas, B, iters):
                 dx, dy, ds = banded_newton_step_compressed(
                     diag_b, lower_b, upper_b, Gy_b, Hx_b,
                     y, s, g, h - s, s * y - 1e-3, 1e-4, st,
-                    algorithm="thomas",
+                    # The PRODUCTION kernel (batch-aware Pallas dispatcher),
+                    # not the XLA scan — the first measurement pass timed
+                    # "thomas" and over-reported per-iteration time ~8x.
+                    algorithm=auto_thomas_solve,
                 )
                 return jnp.sum(dx)
 
