@@ -161,6 +161,24 @@ def main() -> None:
     batch = 16 if args.quick else args.batch
     key = jax.random.PRNGKey(1)  # seeded like path.jl:14 (MersenneTwister(1))
     dtype = jnp.float64 if args.x64 else jnp.float32
+
+    # θ generation runs on the CPU backend (when available) and is
+    # device_put to the bench device: the sampler is a one-shot program
+    # whose tunnel compile (~25 s, round-4 build trace) is pure capture-
+    # window overhead. Timing is unaffected — generation is outside the
+    # clock and the (B, p) transfer is microseconds.
+    from mcp_tpu.utils.devices import probes_on_cpu
+
+    bench_device = jax.devices()[0]
+
+    def _on_bench_device(make):
+        def sampler(i):
+            with probes_on_cpu():
+                th = make(i)
+            return jax.device_put(th, bench_device)
+
+        return sampler
+
     if args.suite == "qp":
         # Reference protocol: 100 random sparse convex QPs, 100 primals +
         # 100 inequalities, sparsity 0.9 (benchmark/path.jl:5-17).
@@ -168,10 +186,14 @@ def main() -> None:
 
         problem = qp.generate_test_problem()
         mcp = problem.mcp
-        thetas = qp.generate_parameter_batch(key, batch, dtype=dtype)
-        theta_sampler = lambda i: qp.generate_parameter_batch(
-            jax.random.fold_in(key, 1 + i), batch, dtype=dtype
+        theta_sampler = _on_bench_device(
+            lambda i: qp.generate_parameter_batch(
+                jax.random.fold_in(key, 1 + i), batch, dtype=dtype
+            )
         )
+        thetas = _on_bench_device(
+            lambda i: qp.generate_parameter_batch(key, batch, dtype=dtype)
+        )(0)
         metric_name = "qp_mcp_solves_per_sec"
         if args.tier.startswith("tridiag"):
             # Measured on-chip (round 3, conservative in-graph timing):
@@ -187,10 +209,14 @@ def main() -> None:
     else:
         bench = lc.generate_test_problem(horizon=10)
         mcp = bench.parametric_game.mcp
-        thetas = lc.generate_parameter_batch(key, batch, bench, dtype=dtype)
-        theta_sampler = lambda i: lc.generate_parameter_batch(
-            jax.random.fold_in(key, 1 + i), batch, bench, dtype=dtype
+        theta_sampler = _on_bench_device(
+            lambda i: lc.generate_parameter_batch(
+                jax.random.fold_in(key, 1 + i), batch, bench, dtype=dtype
+            )
         )
+        thetas = _on_bench_device(
+            lambda i: lc.generate_parameter_batch(key, batch, bench, dtype=dtype)
+        )(0)
         metric_name = "lane_change_mcp_solves_per_sec"
 
     from mcp_tpu.solver import SolverOptions

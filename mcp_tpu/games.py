@@ -65,7 +65,13 @@ class GameDimensions(NamedTuple):
 
 def _eval_len(fn, xs, arg) -> int:
     shape = jax.eval_shape(fn, xs, arg)
-    return int(jnp.prod(jnp.asarray(shape.shape))) if shape.shape else 1
+    # Host arithmetic on the static shape tuple — a jnp.prod here is an
+    # EAGER device op, i.e. one tiny compiled program PER CONSTRAINT through
+    # the axon tunnel (~12 s each; measured 126 s of ParametricGame.create
+    # wall-clock in the round-4 build trace).
+    import math
+
+    return math.prod(shape.shape) if shape.shape else 1
 
 
 def dimensions(
