@@ -206,6 +206,17 @@ def main() -> None:
                 file=sys.stderr,
             )
             args.tier = "schur_pallas"
+        if args.x64 and args.tier == "schur_pallas" and not args.cpu:
+            # Mosaic has no f64 path; the f64 reference-protocol row runs
+            # the exact XLA "schur" tier instead (kernel parity is an f32
+            # concern — the f64 row exists for the tol-1e-6 protocol,
+            # benchmark/path.jl:8).
+            print(
+                "note: --x64 on TPU uses the 'schur' tier "
+                "(Mosaic kernels are f32-only)",
+                file=sys.stderr,
+            )
+            args.tier = "schur"
     else:
         bench = lc.generate_test_problem(horizon=10)
         mcp = bench.parametric_game.mcp

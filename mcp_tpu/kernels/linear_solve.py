@@ -408,6 +408,16 @@ def _gauss_solve_vmap(axis_size, in_batched, A, b):
     # Flatten any extra leading dims (nested vmap) into one batch axis.
     lead = A.shape[:-2]
     n = A.shape[-1]
+    Bflat = 1
+    for d in lead:
+        Bflat *= d
+    if Bflat >= 128:
+        # Lane-major kernel: batch on the 128-lane axis, every reflector
+        # pass 100% dense (measured r4, QP n=100 B=256: 8.9 → see
+        # benchmarks_round4.json; the batch-major kernels run the serial
+        # chain over Mosaic-padded row tiles at ~0.06 Tflop/s).
+        out = pallas_qr_lanes_solve(A.reshape(-1, n, n), b.reshape(-1, n))
+        return out.reshape(*lead, n), True
     # Fused augmented kernel: one whole-batch grid step (measured 18-20%
     # faster than the tiled rank-1 kernel at lane-change sizes; both beat
     # the WY blocked variant, which cannot shorten the serial chain).
@@ -457,3 +467,124 @@ def pallas_gauss_solve(
         ),
         interpret=interpret,
     )(A, b)
+
+
+# -- Lane-major ("batch-on-lanes") variant --------------------------------
+
+
+def _qr_lanes_kernel(m_ref, x_ref, *, n8: int):
+    """Lane-major Householder-QR solve: one 128-lane group of systems.
+
+    m_ref: (1, n8+1, n8, 128) COLUMN storage — m[0, j] is matrix column j
+    (rows on sublanes) for j < n8, m[0, n8] is the RHS column; 128 systems
+    ride the lane axis, so every tile is 100% dense and every reflector is
+    two full vector passes over the block with no cross-lane ops. Same
+    layout insight as the lane-major Thomas kernel (thomas_pallas.py
+    `_thomas_kernel_lanes`): the batch-major QR kernel puts rows on
+    sublanes and columns on lanes, which at n=100 runs at ~0.06 Tflop/s —
+    the serial reflector chain does Mosaic-padded row work; here the same
+    chain does dense (n8+1, n8, 128) FMAs.
+    """
+    M = m_ref[0]  # (n8+1, n8, LB)
+    dtype = M.dtype
+    LB = M.shape[-1]
+    eps = jnp.asarray(1e-30, dtype)
+    srow = lax.broadcasted_iota(jnp.int32, (n8, LB), 0)
+
+    for k in range(n8):  # static unroll: every slice is compile-time
+        col = M[k]  # (n8, LB)
+        below = (srow >= k).astype(dtype)
+        pivm = (srow == k).astype(dtype)
+        v = col * below
+        vk = jnp.sum(v * pivm, axis=0, keepdims=True)  # (1, LB)
+        norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + eps)
+        sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
+        u = v + (sign * norm) * pivm
+        beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)  # (1, LB)
+        w = jnp.sum(M * u[None], axis=1, keepdims=True)  # (n8+1, 1, LB)
+        M = M - (beta[None] * w) * u[None]
+
+    # Back substitution: R columns are M[:n8], Q'b is M[n8:] (1, n8, LB).
+    Q = M[n8:]
+    for k in range(n8 - 1, -1, -1):
+        rk = M[k]
+        pivm = (srow == k).astype(dtype)
+        strict = (srow < k).astype(dtype)
+        rkk = jnp.sum(rk * pivm, axis=0, keepdims=True)
+        qk = jnp.sum(Q * pivm[None], axis=1, keepdims=True)  # (1, 1, LB)
+        xk = qk / rkk[None]
+        Q = jnp.where(pivm[None] > 0, xk, Q - xk * (rk * strict)[None])
+    x_ref[0] = Q[0]
+
+
+def pallas_qr_lanes_solve(
+    A: Array,
+    b: Array,
+    *,
+    interpret: bool | None = None,
+) -> Array:
+    """Batch-on-lanes QR solve of A x = b. A: (B, n, n), b: (B, n).
+
+    B pads to a multiple of 128 with identity systems; n pads to a multiple
+    of 8 with decoupled identity rows. Measured motivation
+    (benchmarks_round4.json, QP n=100 B=256): the batch-major fused QR
+    kernel runs at 8.9 ms/solve-batch (~0.06 Tflop/s) because each
+    reflector's row work lives on Mosaic-padded sublanes; the lane-major
+    layout makes every pass dense.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, n, _ = A.shape
+    dtype = A.dtype
+    LB = 128
+    n8 = -(-n // 8) * 8
+    if n8 > n:
+        p = n8 - n
+        A = jnp.concatenate([A, jnp.zeros((B, n, p), dtype)], axis=2)
+        tail = jnp.concatenate(
+            [jnp.zeros((p, n), dtype), jnp.eye(p, dtype=dtype)], axis=1
+        )
+        A = jnp.concatenate([A, jnp.tile(tail[None], (B, 1, 1))], axis=1)
+        b = jnp.concatenate([b, jnp.zeros((B, p), dtype)], axis=1)
+    if B % LB != 0:
+        pad = LB - B % LB
+        A = jnp.concatenate(
+            [A, jnp.tile(jnp.eye(n8, dtype=dtype)[None], (pad, 1, 1))]
+        )
+        b = jnp.concatenate([b, jnp.zeros((pad, n8), dtype)])
+    Bp = A.shape[0]
+    G = Bp // LB
+
+    # Column storage with batch on lanes: M[g, j, i, l] = A[g·LB+l, i, j],
+    # M[g, n8, i, l] = b[g·LB+l, i].
+    Acol = jnp.transpose(A.reshape(G, LB, n8, n8), (0, 3, 2, 1))
+    rhs = jnp.transpose(b.reshape(G, LB, n8), (0, 2, 1))[:, None]
+    M = jnp.concatenate([Acol, rhs], axis=1)  # (G, n8+1, n8, LB)
+
+    kernel = functools.partial(_qr_lanes_kernel, n8=n8)
+    x = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n8 + 1, n8, LB),
+                lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n8, LB), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, n8, LB), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * n8 * n8 * n8,
+            bytes_accessed=Bp * n8 * n8 * 4 + 2 * Bp * n8 * 4,
+            transcendentals=Bp * n8,
+        ),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(M)
+    # (G, n8, LB) → (B, n)
+    return jnp.transpose(x, (0, 2, 1)).reshape(Bp, n8)[:B, :n]

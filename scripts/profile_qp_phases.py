@@ -151,6 +151,13 @@ with jax.default_matmul_precision("highest"):
 
         return pallas_qr_solve_fused(A, b, vmem_budget_bytes=48 * 2**20)
 
+    def qr_lanes(A, b):
+        # Batch-on-lanes layout (round-4 kernel): every reflector pass is a
+        # dense (n8+1, n8, 128) FMA — no Mosaic row padding in the chain.
+        from mcp_tpu.kernels.linear_solve import pallas_qr_lanes_solve
+
+        return pallas_qr_lanes_solve(A, b)
+
     def wy(A, b):
         # Blocked-panel WY QR: trailing updates on the MXU; at n=100 the
         # panel structure may win where it lost at lane-change block sizes.
@@ -189,6 +196,8 @@ with jax.default_matmul_precision("highest"):
           flops_gauss)
     timed("solve: wy blocked p8", lambda: make_solver_phase(wy),
           8 * B * n * n * n)
+    timed("solve: qr lanes", lambda: make_solver_phase(qr_lanes),
+          4 * B * n * n * n)
     timed(
         "solve: xla lu",
         lambda: make_solver_phase(

@@ -136,3 +136,47 @@ class TestPallasQRSolve:
         )
         np.testing.assert_array_equal(s1.outer_iters, s2.outer_iters)
         np.testing.assert_allclose(s1.x, s2.x, atol=1e-5)
+
+
+class TestLaneMajorQRSolve:
+    """pallas_qr_lanes_solve: batch-on-lanes QR (round 4 — the QP n=100
+    schur solve was the dominant phase at ~0.06 Tflop/s in the batch-major
+    layout; benchmarks_round4.json)."""
+
+    def test_matches_xla_solve_padded_dims(self):
+        from mcp_tpu.kernels.linear_solve import pallas_qr_lanes_solve
+
+        # n=10 pads to 16; B=5 pads to 128 with identity systems.
+        A, b = random_systems(5, 10, key=3)
+        x = pallas_qr_lanes_solve(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
+
+    def test_saddle_point_stability(self):
+        from mcp_tpu.kernels.linear_solve import pallas_qr_lanes_solve
+
+        # IP-like saddle system with ~tol diagonal rows (the case that
+        # breaks pivot-free LU; QR must stay stable).
+        n = 12
+        key = jax.random.PRNGKey(0)
+        M = jax.random.normal(key, (4, n // 2, n // 2))
+        M = jnp.einsum("bij,bkj->bik", M, M) + jnp.eye(n // 2)[None]
+        C = jax.random.normal(jax.random.fold_in(key, 1), (4, n // 2, n // 2))
+        top = jnp.concatenate([M, C], axis=2)
+        bot = jnp.concatenate(
+            [jnp.transpose(C, (0, 2, 1)), 1e-4 * jnp.eye(n // 2)[None].repeat(4, 0)],
+            axis=2,
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.fold_in(key, 2), (4, n))
+        x = pallas_qr_lanes_solve(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=5e-3, atol=5e-4)
+
+    def test_vmap_dispatch_at_128(self):
+        """vmap(gauss_solve) at B >= 128 routes to the lane-major kernel and
+        agrees with the XLA solve."""
+        A, b = random_systems(128, 6, key=5)
+        x = jax.vmap(gauss_solve)(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
