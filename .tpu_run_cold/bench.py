@@ -1,0 +1,438 @@
+#!/usr/bin/env python
+"""Benchmark entry point: batched lane-change trajectory-game MCP solves/s.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Protocol (mirrors the reference benches, re-targeted at the TPU design):
+  * problem: the 2-player lane-change game, horizon 10 — the reference's
+    trajectory-game benchmark workload (benchmark/trajectory_game_benchmark.jl:39)
+    with randomized initial states + lane preferences (:62-87).
+  * batch of B random θ solved via the vmapped fixed-shape interior-point
+    solve on one TPU chip, f32, tol=1e-4 (reference src/solver.jl:42-48)
+    with the tuned ϵ-annealing schedule (see --tightening-rate; pass
+    --tightening-rate 0.1 for the reference schedule, --polish for
+    certified true residuals); timing = best of `repeats` full-batch runs
+    after a compile warm-up.
+  * vs_baseline: the reference's measured N=2 receding-horizon step time of
+    0.23 s/solve on CPU (scripts/time_plot.py:5-14, BASELINE.md) →
+    baseline rate 1/0.23 ≈ 4.35 solves/s. vs_baseline = solves_per_sec / 4.35.
+
+Flags: --cpu (debug on CPU), --batch B, --repeats R, --quick (tiny batch).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+_T0 = time.monotonic()
+
+
+def _phase(name: str) -> None:
+    """Stderr wall-clock breadcrumbs: where the capture window goes
+    (VERDICT r3: the round-3 driver record was rc=124 with no number —
+    the official record must show WHICH stage ate the clock)."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {name}", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--suite",
+        default="lane_change",
+        choices=["lane_change", "qp", "warm"],
+        help="lane_change (driver metric), the random-QP suite "
+        "(benchmark/quadratic_program_benchmark.jl protocol), or warm "
+        "(receding-horizon warm-started θ-sweep, examples/utils.jl:209-216)",
+    )
+    # IP algorithm: the reference-parity annealed loop ("ip"), the Mehrotra
+    # predictor-corrector (shines on monotone problems and warm re-solves:
+    # QP certified 3.8x faster than the annealed loop), or the hybrid
+    # (annealed warm-up -> Mehrotra tail; the N=4 small-batch winner).
+    # Default: mehrotra for the QP suite (its KKT system is monotone and
+    # affine — cold-start PC is robust there), ip elsewhere.
+    parser.add_argument(
+        "--algorithm", default=None, choices=["ip", "mehrotra", "hybrid"]
+    )
+    # Mehrotra/hybrid iterative-refinement back-solves per Newton solve.
+    # Default: 0 for the QP suite (polish already certifies the terminal
+    # residual; refinement doubles the per-iteration factorization count
+    # for nothing there), 1 elsewhere (the N=10 certification needs it).
+    parser.add_argument("--refinement-steps", type=int, default=None)
+    # With the fused Pallas Thomas tier, throughput keeps climbing past one
+    # VMEM tile's worth of systems (measured with the lane-packed kernel:
+    # 779/s at 128, 852/s at 256).
+    parser.add_argument("--batch", type=int, default=256)
+    # Median-of-5 with a FRESH θ batch per repeat plus an in-graph
+    # cross-check (harness.benchmark_batched): hardened against the round-2
+    # driver artifact where identical repeated dispatches were collapsed by
+    # backend caching and min-of-3 reported an 85x-wrong number.
+    parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--quick", action="store_true")
+    # Streamed serving path: solve K batches inside ONE lax.scan dispatch
+    # (parallel.solve_batches_streamed) — amortizes the ~14 ms tunnel
+    # dispatch that separates the per-dispatch host rate from the device
+    # rate. 0 = off (the default per-dispatch protocol).
+    parser.add_argument("--stream", type=int, default=0, metavar="K")
+    parser.add_argument("--tol", type=float, default=1e-4)
+    # f64 solves (reference QP protocol runs tol 1e-6, benchmark/path.jl:8;
+    # f32 floors at ~6e-6 true residual). TPUs emulate f64 — pair with
+    # --cpu for the honest reference-protocol row.
+    parser.add_argument("--x64", action="store_true")
+    # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
+    # (affine-bands/colored-seed banded assembly + the fused whole-batch
+    # Pallas block-Thomas, kernels/thomas_pallas.py; auto-selects the
+    # lane-major batch-on-lanes kernel at B>=128) is the fastest:
+    # 5215 solves/s at batch 256 (1242 batch-major packed, 288 tridiag
+    # XLA-scan Thomas, 193 schur_pallas, 149 schur) on the lane-change
+    # bench — the XLA scan spent 60% of each iteration in 10 sequential
+    # tiny batched LU dispatches that the fused kernel runs in one
+    # VMEM-resident pallas_call; the lane-major layout then removes the
+    # 2.5x Mosaic tile padding that bound it (DESIGN.md §7).
+    parser.add_argument("--tier", default="tridiag_pallas")
+    # Terminal polish: certify the TRUE residual ≤ tol (SolverOptions.polish).
+    # DEFAULT ON since round 3: the driver-visible headline must be honest at
+    # tolerance (frac_true_kkt_at_tol = 1.0) — the reference's benchmark
+    # protocol counts solves at tolerance (benchmark/path.jl:8,101-126), and
+    # the bare ϵ-exit loop can report :solved with true ‖F‖∞ above tol.
+    # --no-polish gives the reference-parity uncertified exit.
+    parser.add_argument(
+        "--polish", action=argparse.BooleanOptionalAction, default=True
+    )
+    # ϵ-annealing rate. The library default stays the reference's 0.1
+    # (src/solver.jl:44, conformance); the BENCH default is "auto" — the
+    # shape-keyed rule (solver.auto_tightening_rate): 0.02 for small-block
+    # trajectory games (headline/N=4; measured 865.5 → 1174.2 solves/s at
+    # success 1.0), 0.05 for large blocks (N=10), 0.1 otherwise. One
+    # config certifies every flagship shape with no per-shape flag.
+    parser.add_argument("--tightening-rate", default="auto")
+    # Force the fused Pallas linesearch kernel on/off (default: tier-based).
+    parser.add_argument(
+        "--fused-linesearch", default="default", choices=["default", "on", "off"]
+    )
+    # Wall-clock budget for the whole run. The certified host-timed JSON
+    # line is ALWAYS emitted as soon as the repeat loop + true-KKT eval
+    # finish; the in-graph cross-check (a second large compile) only runs
+    # if at least ~40% of the budget remains, else the final line carries
+    # "ingraph_skipped". Round-3 lesson: the driver's capture window timed
+    # out (rc=124) on the full three-compile pipeline and the official
+    # record had NO number.
+    parser.add_argument("--budget-seconds", type=float, default=420.0)
+    args = parser.parse_args()
+    if args.stream > 0 and args.repeats < 1:
+        parser.error("--stream requires --repeats >= 1")
+
+    import jax
+
+    _phase("jax imported")
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        try:  # persistent compile cache: the 5-20 min tunnel compiles amortize
+            import os
+
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"
+                ),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+        # CPU backend alongside the TPU: the problem builder's validation
+        # probes then compile locally instead of through the tunnel —
+        # round-4 measurement: 360 s of the 387 s bench wall-clock was
+        # probe compiles (utils/devices.py).
+        from mcp_tpu.utils.devices import enable_host_probe_backend
+
+        ok = enable_host_probe_backend()
+        _phase(f"cpu probe backend available: {ok}")
+        os.environ.setdefault("MCPTPU_BUILD_TRACE", "1")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from mcp_tpu.bench import harness
+    from mcp_tpu.bench import lane_change as lc
+
+    batch = 16 if args.quick else args.batch
+    key = jax.random.PRNGKey(1)  # seeded like path.jl:14 (MersenneTwister(1))
+    dtype = jnp.float64 if args.x64 else jnp.float32
+
+    # θ generation runs on the CPU backend (when available) and is
+    # device_put to the bench device: the sampler is a one-shot program
+    # whose tunnel compile (~25 s, round-4 build trace) is pure capture-
+    # window overhead. Timing is unaffected — generation is outside the
+    # clock and the (B, p) transfer is microseconds.
+    from mcp_tpu.utils.devices import probes_on_cpu
+
+    bench_device = jax.devices()[0]
+
+    def _on_bench_device(make):
+        def sampler(i):
+            with probes_on_cpu():
+                th = make(i)
+            return jax.device_put(th, bench_device)
+
+        return sampler
+
+    if args.suite == "qp":
+        # Reference protocol: 100 random sparse convex QPs, 100 primals +
+        # 100 inequalities, sparsity 0.9 (benchmark/path.jl:5-17).
+        from mcp_tpu.bench import qp
+
+        problem = qp.generate_test_problem()
+        mcp = problem.mcp
+        theta_sampler = _on_bench_device(
+            lambda i: qp.generate_parameter_batch(
+                jax.random.fold_in(key, 1 + i), batch, dtype=dtype
+            )
+        )
+        thetas = _on_bench_device(
+            lambda i: qp.generate_parameter_batch(key, batch, dtype=dtype)
+        )(0)
+        metric_name = "qp_mcp_solves_per_sec"
+        if args.tier.startswith("tridiag"):
+            # Measured on-chip (round 3, conservative in-graph timing):
+            # schur_pallas 235.7/s success 1.0 frac 1.0 vs schur 168.3/s
+            # success 0.969 — the fused QR kernel is both faster AND fully
+            # certifies, so it is the QP default.
+            print(
+                f"note: --tier {args.tier} has no QP time structure; "
+                "running the exact 'schur_pallas' tier instead",
+                file=sys.stderr,
+            )
+            args.tier = "schur_pallas"
+        if args.x64 and args.tier == "schur_pallas" and not args.cpu:
+            # Mosaic has no f64 path; the f64 reference-protocol row runs
+            # the exact XLA "schur" tier instead (kernel parity is an f32
+            # concern — the f64 row exists for the tol-1e-6 protocol,
+            # benchmark/path.jl:8).
+            print(
+                "note: --x64 on TPU uses the 'schur' tier "
+                "(Mosaic kernels are f32-only)",
+                file=sys.stderr,
+            )
+            args.tier = "schur"
+    else:
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        theta_sampler = _on_bench_device(
+            lambda i: lc.generate_parameter_batch(
+                jax.random.fold_in(key, 1 + i), batch, bench, dtype=dtype
+            )
+        )
+        thetas = _on_bench_device(
+            lambda i: lc.generate_parameter_batch(key, batch, bench, dtype=dtype)
+        )(0)
+        metric_name = "lane_change_mcp_solves_per_sec"
+
+    from mcp_tpu.solver import SolverOptions
+
+    if args.algorithm is None:
+        args.algorithm = "mehrotra" if args.suite == "qp" else "ip"
+    if args.refinement_steps is None:
+        args.refinement_steps = 0 if args.suite == "qp" else 1
+    option_kwargs = dict(
+        tol=args.tol,
+        linear_solver=args.tier,
+        algorithm=args.algorithm,
+        polish=args.polish,
+        refinement_steps=args.refinement_steps,
+    )
+    if args.fused_linesearch != "default":
+        option_kwargs["fused_linesearch"] = args.fused_linesearch == "on"
+    if args.tightening_rate == "auto":
+        from mcp_tpu.solver import auto_tightening_rate
+
+        option_kwargs["tightening_rate"] = auto_tightening_rate(mcp)
+    else:
+        option_kwargs["tightening_rate"] = float(args.tightening_rate)
+    options = SolverOptions(**option_kwargs)
+
+    _phase(f"problem built (suite={args.suite}); compiling the batched solve")
+
+    baseline_solves_per_sec = 1.0 / 0.23  # reference CPU per-step rate
+
+    def make_out(stats: dict, name: str) -> dict:
+        out = {
+            "metric": name,
+            "value": round(stats["solves_per_sec"], 3),
+            "unit": "solves/s",
+            "vs_baseline": round(
+                stats["solves_per_sec"] / baseline_solves_per_sec, 2
+            ),
+            "batch_size": stats["batch_size"],
+            "success_rate": round(stats["success_rate"], 4),
+            "median_outer_iters": stats["median_outer_iters"],
+            "best_batch_time_s": round(stats["best_batch_time_s"], 4),
+            "max_kkt_error_solved": float(f"{stats['max_kkt_error_solved']:.3g}"),
+            # Recomputed ‖F‖∞ at the final iterates — the honest convergence
+            # numbers (the solver's status can report :solved on the
+            # reference's ϵ ≤ tol exit with kkt above tol; see
+            # harness.true_kkt_errors).
+            "true_kkt_max": float(f"{stats['true_kkt_max']:.3g}"),
+            "true_kkt_median": float(f"{stats['true_kkt_median']:.3g}"),
+            "frac_true_kkt_at_tol": round(stats["frac_true_kkt_at_tol"], 4),
+            "tol": args.tol,
+            "certified": bool(args.polish),
+            "device": str(jax.devices()[0]),
+        }
+        for k in (
+            "median_batch_time_s",
+            "ingraph_batch_time_s",
+            "timing_consistent",
+            "ingraph_skipped",
+            "stream_depth",
+            "stream_failures_reproduce_standalone",
+        ):
+            if k in stats:
+                out[k] = (
+                    round(stats[k], 4) if isinstance(stats[k], float) else stats[k]
+                )
+        return out
+
+    if args.suite == "warm":
+        # K sweep steps with a small θ drift per step (the receding-horizon
+        # pattern); warm slacks so Mehrotra runs in its superlinear regime.
+        K = 4 if args.quick else 10
+        sweep = jnp.stack([thetas + 0.005 * k for k in range(K)])
+        out_sweep = harness.benchmark_warm_sweep(
+            mcp,
+            sweep,
+            options=options,
+            cold_options=SolverOptions(tol=args.tol, linear_solver=args.tier),
+            warm_slacks=True,
+        )
+        stats = {
+            "solves_per_sec": out_sweep["warm_solves_per_sec"],
+            "batch_size": out_sweep["batch_size"],
+            "success_rate": out_sweep["final_success_rate"],
+            "median_outer_iters": out_sweep["median_outer_iters_per_step"][-1],
+            "best_batch_time_s": out_sweep["median_step_time_s"],
+            "median_batch_time_s": out_sweep["median_step_time_s"],
+            "ingraph_batch_time_s": out_sweep["ingraph_step_time_s"],
+            "timing_consistent": out_sweep["timing_consistent"],
+            "max_kkt_error_solved": out_sweep["true_kkt_max"],
+            "true_kkt_max": out_sweep["true_kkt_max"],
+            "true_kkt_median": out_sweep["true_kkt_median"],
+            "frac_true_kkt_at_tol": out_sweep["frac_true_kkt_at_tol"],
+        }
+        metric_name = "warm_lane_change_mcp_solves_per_sec"
+    elif args.stream > 0:
+        # K different batches solved back-to-back in one compiled dispatch;
+        # timed over `repeats` dispatches of fresh K-stacks, median reported.
+        import time as _time
+
+        import numpy as _np
+
+        from mcp_tpu.parallel import solve_batches_streamed
+
+        def stack_for(i):
+            return jnp.stack(
+                [theta_sampler(i * args.stream + k) for k in range(args.stream)]
+            )
+
+        stack = stack_for(0)
+        result = solve_batches_streamed(mcp, stack, options=options)
+        float(jnp.sum(result.x))  # compile + force
+        times = []
+        for r in range(1, args.repeats + 1):
+            st = stack_for(r)
+            st.block_until_ready()
+            t0 = _time.perf_counter()
+            result = solve_batches_streamed(mcp, st, options=options)
+            # Force the VALUE: buffer-block can under-wait on this backend
+            # (scripts/diag_qp_timing.py); the one d2h scalar round-trip is
+            # amortized over the whole K-batch stream.
+            float(jnp.sum(result.x))
+            times.append(_time.perf_counter() - t0)
+            last_stack = st
+        median_t = float(_np.median(times))
+        flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), result)
+        stats = harness.batch_statistics(flat)
+        # Round-3's streamed row showed success 0.999 vs per-dispatch 1.0.
+        # Explanation: the streamed protocol solves repeats·K·B DISTINCT
+        # instances (theta_sampler indices r·K+k) vs the per-dispatch
+        # protocol's repeats·B — a ~99.95% per-instance success rate shows
+        # ~1 failure per 2048 draws only in the larger sample. Verify that
+        # any failed lane is instance-hard, not a scan-path artifact: the
+        # exact failing batch re-solves standalone and must agree.
+        fail_k = _np.flatnonzero(
+            _np.asarray((result.status != 0).any(axis=1))
+        )
+        if fail_k.size:
+            from mcp_tpu.parallel.batch import solve_batch as _sb
+
+            k0 = int(fail_k[0])
+            standalone = _sb(mcp, last_stack[k0], options=options)
+            stats["stream_failures_reproduce_standalone"] = bool(
+                _np.array_equal(
+                    _np.asarray(standalone.status),
+                    _np.asarray(result.status[k0]),
+                )
+            )
+        true_kkt = _np.asarray(
+            harness.true_kkt_errors(
+                mcp, flat, last_stack.reshape(-1, last_stack.shape[-1])
+            )
+        )
+        solved = _np.asarray(flat.status) == 0
+        solved_kkt = true_kkt[solved] if solved.any() else _np.asarray([_np.nan])
+        stats.update(
+            {
+                "batch_size": batch,
+                "stream_depth": args.stream,
+                "best_batch_time_s": float(min(times)) / args.stream,
+                "median_batch_time_s": median_t / args.stream,
+                "solves_per_sec": args.stream * batch / median_t,
+                "true_kkt_max": float(_np.max(solved_kkt)),
+                "true_kkt_median": float(_np.median(solved_kkt)),
+                "frac_true_kkt_at_tol": float(_np.mean(true_kkt <= options.tol)),
+            }
+        )
+        metric_name += "_streamed"
+    else:
+        # Two-stage emission (VERDICT r3 item 1): the certified host-timed
+        # JSON line prints as soon as the repeat loop + true-KKT eval
+        # finish; the in-graph cross-check — a second large compile —
+        # runs after, budget permitting, and reprints the line with the
+        # extra fields. A capture-window timeout mid-cross-check still
+        # leaves a parseable certified number in the output tail.
+        stats = harness.benchmark_batched(
+            mcp,
+            thetas,
+            repeats=args.repeats,
+            options=options,
+            theta_sampler=theta_sampler,
+            ingraph_check=False,
+        )
+        _phase("host repeats + true-KKT done; emitting certified line")
+        print(json.dumps(make_out(stats, metric_name)), flush=True)
+        elapsed = time.monotonic() - _T0
+        if elapsed <= 0.6 * args.budget_seconds:
+            _phase("in-graph cross-check (second large compile)")
+            harness.apply_ingraph_crosscheck(
+                mcp,
+                stats,
+                theta_sampler,
+                options=options,
+                repeats=min(args.repeats, 3),
+            )
+        else:
+            stats["ingraph_skipped"] = (
+                f"budget: {elapsed:.0f}s of {args.budget_seconds:.0f}s elapsed"
+            )
+        _phase("final line")
+        print(json.dumps(make_out(stats, metric_name)), flush=True)
+        return
+
+    _phase("final line")
+    print(json.dumps(make_out(stats, metric_name)), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

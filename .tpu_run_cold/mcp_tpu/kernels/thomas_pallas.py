@@ -1,0 +1,1370 @@
+"""Fused whole-batch Pallas block-Thomas solve.
+
+Measured on the lane-change headline bench (v5e, B=64, T=10, b=20): the
+XLA-scan block-Thomas (kernels/block_tridiag.block_thomas_solve) costs
+4.7 ms per Newton iteration — 60% of the whole interior-point iteration —
+in 10 sequential tiny batched LU dispatches. This kernel runs the entire
+forward-eliminate/back-substitute recursion in ONE pallas_call with every
+band tile resident in VMEM (~4 MB at headline shapes): per time step, the
+Schur denominator ``D_t − L_t·C_{t−1}`` is formed with batched MXU matmuls
+and solved against the ``[U_t | r_t − L_t·d_{t−1}]`` multi-RHS block by an
+in-VMEM Householder QR (pivot-free, stable for the IP saddle blocks — same
+rationale as kernels/linear_solve.py), with no per-step XLA dispatch or
+HBM round-trips.
+
+The `thomas_solve` entry point carries a custom vmap rule so the solver's
+per-instance vmap lowers to one whole-batch kernel call (same pattern as
+`gauss_solve`). Selected via ``SolverOptions(linear_solver="tridiag_pallas")``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _qr_solve_aug(M, *, b: int):
+    """Solve M[:, :, :b] X = M[:, :, b:] in place; M (TB, b, nc) for any
+    nc > b. Pivot-free Householder QR, every step a lane-friendly
+    reduction + rank-1 update over the whole batch tile (same scheme as
+    linear_solve._qr_solve_aug_kernel). Returns X (TB, b, nc-b)."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    rows = lax.broadcasted_iota(jnp.int32, (1, b), 1)  # (1, b)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, nc), 2)
+    eps = jnp.asarray(1e-30, dtype)
+    dnb = (((2,), (1,)), ((0,), (0,)))  # (TB,1,b) @ (TB,b,·)
+
+    def reflect(k, M):
+        onehot_l = (lane == k).astype(dtype)
+        col = jnp.sum(M * onehot_l, axis=2)  # (TB, b)
+        below = (rows >= k).astype(dtype)
+        pivot = (rows == k).astype(dtype)
+        v = col * below
+        vk = jnp.sum(v * pivot, axis=1, keepdims=True)
+        norm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True) + eps)
+        sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
+        u = v + (sign * norm) * pivot
+        beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)
+        w = lax.dot_general(u[:, None, :], M, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)[:, 0, :]
+        return M - (beta * u)[:, :, None] * w[:, None, :]
+
+    M = lax.fori_loop(0, b, reflect, M)
+
+    def backsub(i, X):
+        k = b - 1 - i
+        row_k = jnp.sum(M * (rows[:, :, None] == k).astype(dtype), axis=1)
+        # Pure slices only: mixing None with a partial slice in one
+        # __getitem__ lowers via lax.gather, which Mosaic rejects.
+        row_head = row_k[:, :b]
+        rkk = jnp.sum(row_head * (rows == k).astype(dtype), axis=1, keepdims=True)
+        dot = lax.dot_general(
+            row_head[:, None, :], X, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+        )[:, 0, :]  # (TB, nc-b); X rows ≤ k are still zero
+        xk = (row_k[:, b:] - dot) / rkk
+        return X + xk[:, None, :] * (rows[:, :, None] == k).astype(dtype)
+
+    X0 = jnp.zeros((TB, b, nc - b), dtype)
+    return lax.fori_loop(0, b, backsub, X0)
+
+
+def _gj_solve_aug(M, *, b: int):
+    """Solve M[:, :, :b] X = M[:, :, b:] by pivot-free Gauss–Jordan,
+    statically unrolled; M (TB, b, nc), returns X (TB, b, nc-b).
+
+    Two full passes over M per column (the fused eliminate-above-and-below
+    update) versus the Householder QR's ~4-5 plus a back-substitution —
+    the kernel is VMEM-bandwidth-bound (measured: batch-tile-size
+    invariant), so passes are the currency. Static unrolling makes the
+    pivot row/column extractions cheap lane/sublane slices instead of
+    one-hot full-matrix reductions. No pivoting: the IP Schur-complement
+    denominators are regularized (+tol·I); a zero pivot yields NaN, which
+    the solver's step-failure logic already treats as a failed linear
+    solve (reference retcode semantics, src/solver.jl:84-88)."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    eps = jnp.asarray(1e-30, dtype)
+    for k in range(b):
+        row_k = M[:, k : k + 1, :]  # (TB, 1, nc)
+        piv = row_k[:, :, k : k + 1]  # (TB, 1, 1)
+        col_k = M[:, :, k : k + 1]  # (TB, b, 1)
+        # Eliminate above AND below; row k itself scales to pivot 1.
+        not_k = (rows != k).astype(dtype)
+        inv_piv = 1.0 / jnp.where(jnp.abs(piv) > eps, piv, eps)
+        factors = col_k * inv_piv * not_k  # (TB, b, 1)
+        # One fused elementwise pass: eliminate off-pivot rows and scale
+        # row k to pivot 1 in a single where-expression (two full M passes
+        # per column total: the read and the write).
+        M = jnp.where(rows == k, row_k * inv_piv, M - factors * row_k)
+    return M[:, :, b:]
+
+
+def _gjp_solve_aug(M, *, b: int):
+    """Partially-pivoted Gauss–Jordan with IMPLICIT row swaps; M (TB, b, nc)
+    → X (TB, b, nc−b).
+
+    Per column: pick the largest-|entry| unused row (cheap — the column is
+    a lane slice already in registers), extract it with one one-hot
+    reduction pass, and eliminate every other row in one fused
+    read-modify-write pass — ~3 full M passes per column versus the
+    Householder QR's ~5.7 (incl. back-substitution). Rows are never
+    physically swapped; the solution rows come out in pivot order and one
+    final (TB,b,b)·(TB,b,nc−b) permutation matmul unscrambles them.
+    Partial pivoting keeps it solid on the near-boundary IP blocks where
+    the pivot-free variant loses instances (measured: success 0.875 → 1.0
+    on the lane-change bench)."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    rows_f = rows.astype(dtype)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, nc), 2)
+    eps = jnp.asarray(1e-30, dtype)
+
+    def eliminate(k, carry):
+        # One-hot extraction everywhere: static/dynamic lane SLICES at
+        # arbitrary offsets trigger full-array Mosaic relayouts (measured:
+        # the sliced variant ran 5x slower than QR), one-hot reductions
+        # read aligned data.
+        M, used = carry
+        lane_k = (lane == k).astype(dtype)
+        col_k = jnp.sum(M * lane_k, axis=2, keepdims=True)  # (TB, b, 1)
+        # Largest |entry| among unused rows; -1 sentinel keeps used rows out.
+        score = jnp.abs(col_k) * (1.0 - used) - used
+        top = jnp.max(score, axis=1, keepdims=True)
+        # First-of-ties via a min-index reduction (Mosaic has no cumsum).
+        first = jnp.min(
+            jnp.where(score == top, rows_f, jnp.asarray(float(b), dtype)),
+            axis=1,
+            keepdims=True,
+        )
+        onehot = (rows_f == first).astype(dtype)
+        row_k = jnp.sum(M * onehot, axis=1, keepdims=True)  # (TB, 1, nc)
+        piv = jnp.sum(row_k * lane_k, axis=2, keepdims=True)  # (TB, 1, 1)
+        inv_piv = 1.0 / jnp.where(jnp.abs(piv) > eps, piv, eps)
+        factors = col_k * inv_piv * (1.0 - onehot)
+        M = jnp.where(onehot > 0, row_k * inv_piv, M - factors * row_k)
+        return M, used + onehot
+
+    M, _ = lax.fori_loop(
+        0, b, eliminate, (M, jnp.zeros((TB, b, 1), dtype))
+    )
+    # Unscramble: after full Jordan elimination the head M[:, :, :b] IS the
+    # permutation (row p_k holds e_k), so X_final[k] = Σ_j head[j, k]·X[j]
+    # — one contraction over the row dim (no one-hot stacking, which Mosaic
+    # rejects as a mixed-offset concatenate).
+    return lax.dot_general(
+        M[:, :, :b], M[:, :, b:], (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
+    )
+
+
+def _gjpr_solve_aug(M, *, b: int):
+    """Partially-pivoted Gauss–Jordan WITH one in-kernel iterative
+    refinement pass (VERDICT r2 #4); M (TB, b, nc) → X (TB, b, nc−b).
+
+    Gauss–Jordan (pivoted or not) is not backward stable: its error
+    envelope ~u·κ(A)·‖A⁻¹‖ grows with pivot growth, which is what drops
+    ~3% of near-boundary IP instances at large batch and floors f32
+    accuracy at wide blocks. Fix: augment with the identity so the SAME
+    elimination also emits the explicit inverse ([A | N | I] → [X | A⁻¹]),
+    then run one refinement step entirely in MXU matmuls:
+        E = N − A·X ;  X ← X + A⁻¹·E.
+    One fixed-point step with an O(u·κ) approximate inverse contracts the
+    residual by ‖I − A·Â⁻¹‖ — enough to cancel the pivot-growth envelope
+    (Higham, Accuracy and Stability, ch. 12). Cost: elimination passes
+    scale by (4b+1)/(3b+1) ≈ 1.3x plus three b×b-batched matmuls — still
+    well under the Householder QR's ~5.7 passes + backsubstitution."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    A = M[:, :, :b]
+    N = M[:, :, b:]
+    eyeb = (
+        lax.broadcasted_iota(jnp.int32, (TB, b, b), 1)
+        == lax.broadcasted_iota(jnp.int32, (TB, b, b), 2)
+    ).astype(dtype)
+    sol = _gjp_solve_aug(jnp.concatenate([M, eyeb], axis=2), b=b)
+    X = sol[:, :, : nc - b]
+    Ainv = sol[:, :, nc - b :]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    bmm = lambda P, Q: lax.dot_general(
+        P, Q, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+    )
+    E = N - bmm(A, X)
+    return X + bmm(Ainv, E)
+
+
+def _solve_aug(M, *, b: int, fact: str):
+    """Dispatch the in-kernel augmented solve: "qr" (Householder, stable),
+    "gj" (pivot-free Gauss-Jordan, fewest passes, fragile near the
+    boundary), "gjp" (partially-pivoted Gauss-Jordan — ~1.9x less VMEM
+    traffic than QR at full robustness), or "gjpr" (gjp + one explicit-
+    inverse iterative-refinement pass — QR-class accuracy, GJ-class
+    passes)."""
+    if fact == "gj":
+        return _gj_solve_aug(M, b=b)
+    if fact == "gjp":
+        return _gjp_solve_aug(M, b=b)
+    if fact == "gjpr":
+        return _gjpr_solve_aug(M, b=b)
+    return _qr_solve_aug(M, b=b)
+
+
+def _thomas_kernel(d_ref, l_ref, u_ref, r_ref, x_ref, cd_ref, *, T: int, b: int):
+    """One grid step solves the whole batch tile.
+
+    d_ref (TB,T,b,b) diagonal blocks; l_ref (TB,T,b,b) lower blocks padded
+    with zeros at t=0 (l_ref[:,t] couples row t to t−1); u_ref (TB,T,b,b)
+    upper blocks padded at t=T−1; r_ref (TB,T,b) RHS; x_ref (TB,T,b) out;
+    cd_ref (TB,T,b,b+1) scratch holding [C_t | d_t].
+    """
+    dtype = x_ref.dtype
+    TB = x_ref.shape[0]
+    qr_solve_aug = functools.partial(_qr_solve_aug, b=b)
+
+    def fwd(t, _):
+        D = d_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b, b)
+        L = l_ref[:, pl.ds(t, 1)][:, 0]
+        U = u_ref[:, pl.ds(t, 1)][:, 0]
+        r = r_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b)
+        tp = jnp.maximum(t - 1, 0)
+        # Select, not multiply: the scratch is uninitialized at t=0 and
+        # 0·garbage can be NaN.
+        Cd_prev = jnp.where(
+            t > 0, cd_ref[:, pl.ds(tp, 1)][:, 0], jnp.zeros((), dtype)
+        )
+        # Static lane *slices* only: integer lane indexing (e.g. [:, :, b])
+        # lowers to an unsupported Mosaic gather.
+        C_prev, d_prev = Cd_prev[:, :, :b], Cd_prev[:, :, b:]
+        denom = D - lax.dot_general(
+            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+        )
+        Ld = lax.dot_general(L, d_prev, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        M = jnp.concatenate([denom, U, (r[:, :, None] - Ld)], axis=2)
+        cd_ref[:, pl.ds(t, 1)] = qr_solve_aug(M)[:, None]
+        return 0
+
+    lax.fori_loop(0, T, fwd, 0, unroll=False)
+
+    def bwd(i, x_next):
+        t = T - 1 - i
+        Cd = cd_ref[:, pl.ds(t, 1)][:, 0]
+        x_t = (
+            Cd[:, :, b:]
+            - lax.dot_general(
+                Cd[:, :, :b], x_next[:, :, None], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
+            )
+        )[:, :, 0]
+        x_ref[:, pl.ds(t, 1)] = x_t[:, None]
+        return x_t
+
+    lax.fori_loop(0, T, bwd, jnp.zeros((TB, b), dtype), unroll=False)
+
+
+def _thomas_kernel_packed(band_ref, out_ref, x_ref, *, T: int, b: int, fact: str = "qr"):
+    """Lane-packed in-place variant: band_ref (TB, T, b, 3b+1) holds
+    [D | L | U | r] in lane segments (L[t] couples row t to t−1, zero at
+    t=0; U[t] couples to t+1, zero at t=T−1). band_ref is aliased to
+    out_ref (input_output_aliases), so step t overwrites its block with
+    [C | L | U | d] — no separate scratch array. One 128-lane tile per
+    (system, time) block instead of four: ~4x less VMEM per system than
+    `_thomas_kernel`, so the batch tile (and with it the number of
+    sequential grid steps) shrinks proportionally."""
+    del out_ref  # same buffer as band_ref
+    dtype = x_ref.dtype
+    TB = x_ref.shape[0]
+    qr_solve_aug = functools.partial(_solve_aug, b=b, fact=fact)
+
+    def fwd(t, _):
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b, 3b+1)
+        D = blk[:, :, :b]
+        L = blk[:, :, b : 2 * b]
+        U = blk[:, :, 2 * b : 3 * b]
+        r = blk[:, :, 3 * b :]  # (TB, b, 1)
+        tp = jnp.maximum(t - 1, 0)
+        prev = jnp.where(
+            t > 0, band_ref[:, pl.ds(tp, 1)][:, 0], jnp.zeros((), dtype)
+        )
+        C_prev = prev[:, :, :b]
+        d_prev = prev[:, :, 3 * b :]
+        denom = D - lax.dot_general(
+            L, C_prev, (((2,), (1,)), ((0,), (0,))), preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+        )
+        Ld = lax.dot_general(L, d_prev, (((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        M = jnp.concatenate([denom, U, r - Ld], axis=2)
+        Cd = qr_solve_aug(M)  # (TB, b, b+1)
+        # Full-width aligned store: [C | L | U | d] over [D | L | U | r].
+        blk_new = jnp.concatenate([Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2)
+        band_ref[:, pl.ds(t, 1)] = blk_new[:, None]
+        return 0
+
+    lax.fori_loop(0, T, fwd, 0, unroll=False)
+
+    def bwd(i, x_next):
+        t = T - 1 - i
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]
+        x_t = (
+            blk[:, :, 3 * b :]
+            - lax.dot_general(
+                blk[:, :, :b], x_next[:, :, None], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
+            )
+        )[:, :, 0]
+        x_ref[:, pl.ds(t, 1)] = x_t[:, None]
+        return x_t
+
+    lax.fori_loop(0, T, bwd, jnp.zeros((TB, b), dtype), unroll=False)
+
+
+def _thomas_kernel_packed_multi(band_ref, out_ref, x_ref, *, T: int, b: int,
+                                k: int, fact: str = "qr"):
+    """Multi-RHS lane-packed block-Thomas: band_ref (TB, T, b, 3b+k) holds
+    [D | L | U | R] with k right-hand-side columns — the SPIKE local stage's
+    [r | e₀⊗L_bound | e_last⊗U_bound] (k = 2b+1, parallel/horizon.py). Same
+    in-place sweep as _thomas_kernel_packed (k = 1), amortizing ONE
+    factorization chain over all k columns inside a single pallas_call —
+    versus the XLA slab's T sequential b×b LU dispatches
+    (block_tridiag.block_thomas_solve_multi). x_ref (TB, T, b, k)."""
+    del out_ref  # same buffer as band_ref
+    dtype = x_ref.dtype
+    qr_solve_aug = functools.partial(_solve_aug, b=b, fact=fact)
+    dnb = (((2,), (1,)), ((0,), (0,)))
+
+    def fwd(t, _):
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]  # (TB, b, 3b+k)
+        D = blk[:, :, :b]
+        L = blk[:, :, b : 2 * b]
+        U = blk[:, :, 2 * b : 3 * b]
+        R = blk[:, :, 3 * b :]  # (TB, b, k)
+        tp = jnp.maximum(t - 1, 0)
+        prev = jnp.where(
+            t > 0, band_ref[:, pl.ds(tp, 1)][:, 0], jnp.zeros((), dtype)
+        )
+        C_prev = prev[:, :, :b]
+        d_prev = prev[:, :, 3 * b :]  # (TB, b, k)
+        denom = D - lax.dot_general(
+            L, C_prev, dnb, preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+        Ld = lax.dot_general(L, d_prev, dnb, preferred_element_type=dtype,
+                             precision=lax.Precision.HIGHEST)
+        M = jnp.concatenate([denom, U, R - Ld], axis=2)
+        Cd = qr_solve_aug(M)  # (TB, b, b+k)
+        band_ref[:, pl.ds(t, 1)] = jnp.concatenate(
+            [Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2
+        )[:, None]
+        return 0
+
+    lax.fori_loop(0, T, fwd, 0, unroll=False)
+
+    TB = x_ref.shape[0]
+
+    def bwd(i, x_next):
+        t = T - 1 - i
+        blk = band_ref[:, pl.ds(t, 1)][:, 0]
+        x_t = blk[:, :, 3 * b :] - lax.dot_general(
+            blk[:, :, :b], x_next, dnb, preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+        x_ref[:, pl.ds(t, 1)] = x_t[:, None]
+        return x_t
+
+    lax.fori_loop(0, T, bwd, jnp.zeros((TB, b, k), dtype), unroll=False)
+
+
+def pallas_block_thomas_multi(
+    diag: Array,
+    lower: Array,
+    upper: Array,
+    rhs: Array,
+    *,
+    batch_tile: int | None = None,
+    vmem_budget_bytes: int = 10 * 2**20,
+    interpret: bool | None = None,
+    fact: str = "qr",
+) -> Array:
+    """Fused multi-RHS block-Thomas (the SPIKE-local counterpart of
+    `block_tridiag.block_thomas_solve_multi`, VERDICT r2 #5): diag
+    (B, T, b, b), lower/upper (B, T−1, b, b), rhs (B, T, b, k) →
+    x (B, T, b, k). Requires the packed [D|L|U|R] row to fit one 128-lane
+    tile (3b + k ≤ 128); callers fall back to the XLA slab otherwise."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, T, b, _ = diag.shape
+    k = rhs.shape[-1]
+    W = 3 * b + k
+    if W > 128:
+        raise ValueError(f"packed multi-RHS row 3b+k={W} exceeds 128 lanes")
+    zero = jnp.zeros((B, 1, b, b), diag.dtype)
+    lower_pad = jnp.concatenate([zero, lower], axis=1)
+    upper_pad = jnp.concatenate([upper, zero], axis=1)
+    packed = jnp.concatenate([diag, lower_pad, upper_pad, rhs], axis=3)
+    if batch_tile is None:
+        pad8 = -(-b // 8) * 8
+        per_sys = T * pad8 * 128 * diag.dtype.itemsize
+        cap = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
+        batch_tile = 1 << (cap.bit_length() - 1)
+    if B % batch_tile != 0:
+        pad = batch_tile - B % batch_tile
+        eyeb = jnp.broadcast_to(jnp.eye(b, dtype=diag.dtype), (pad, T, b, b))
+        packed = jnp.concatenate(
+            [
+                packed,
+                jnp.concatenate(
+                    [eyeb, jnp.zeros((pad, T, b, 2 * b + k), diag.dtype)], axis=3
+                ),
+            ]
+        )
+    Bp = packed.shape[0]
+    grid = (Bp // batch_tile,)
+    kernel = functools.partial(
+        _thomas_kernel_packed_multi, T=T, b=b, k=k, fact=fact
+    )
+    blk = pl.BlockSpec(
+        (batch_tile, T, b, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    _, x = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk],
+        out_specs=[
+            blk,
+            pl.BlockSpec((batch_tile, T, b, k), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, T, b, W), diag.dtype),
+            jax.ShapeDtypeStruct((Bp, T, b, k), diag.dtype),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * T * (2 * b**3 + 6 * b**2 * (b + k)),
+            bytes_accessed=Bp * T * b * W * 4 * 2,
+            transcendentals=Bp * T * b,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
+        interpret=interpret,
+    )(packed)
+    return x[:B]
+
+
+@jax.custom_batching.custom_vmap
+def thomas_solve_multi(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+    """Single-instance fused multi-RHS Thomas (diag (T, b, b), rhs (T, b, k))
+    with a custom vmap rule so batched callers reach the kernel as one
+    whole-batch pallas_call. Falls back to the XLA slab when the packed row
+    exceeds one lane tile."""
+    from .block_tridiag import block_thomas_solve_multi
+
+    T, b, _ = diag.shape
+    if 3 * b + rhs.shape[-1] > 128:
+        return block_thomas_solve_multi(diag, lower, upper, rhs)
+    return pallas_block_thomas_multi(
+        diag[None], lower[None], upper[None], rhs[None]
+    )[0]
+
+
+@thomas_solve_multi.def_vmap
+def _thomas_solve_multi_vmap(axis_size, in_batched, diag, lower, upper, rhs):
+    from .block_tridiag import block_thomas_solve_multi
+
+    if not all(in_batched):
+        diag, lower, upper, rhs = jax.tree.map(
+            lambda bt, a: a if bt else jnp.broadcast_to(a, (axis_size, *a.shape)),
+            list(in_batched), [diag, lower, upper, rhs],
+        )
+    T, b = diag.shape[1], diag.shape[2]
+    if 3 * b + rhs.shape[-1] > 128:
+        return jax.vmap(block_thomas_solve_multi)(diag, lower, upper, rhs), True
+    return pallas_block_thomas_multi(diag, lower, upper, rhs), True
+
+
+def _thomas_kernel_babe(band_ref, out_ref, x_ref, *, T: int, b: int, ml: int, fact: str = "qr"):
+    """Two-way ("burn at both ends") lane-packed block-Thomas.
+
+    The plain sweep is latency-bound on its 2T-step serial chain. Here the
+    elimination runs from BOTH ends simultaneously with the two directions
+    folded into the batch axis (identical per-step op count, half the
+    steps), meeting at a junction solved by one extra b×b QR:
+
+        left  (dir 0): t = 0..ml−1,      x_t = d_t − C_t·x_{t+1}
+        right (dir 1): t = T−1..ml,      x_t = e_t − E_t·x_{t−1}
+        junction:      (I − C_{ml−1}·E_{ml})·x_{ml−1} = d_{ml−1} − C_{ml−1}·e_{ml}
+
+    band_ref (TB, 2, ml, b, 3b+1): dir 0 holds [D|L|U|r] at position t; dir
+    1 holds the time-reversed blocks with the L/U roles swapped (the right
+    recursion is the left one on the reversed system), shift-aligned so the
+    junction-adjacent block of BOTH directions sits at position ml−1 (odd T
+    puts one identity pad block at dir-1 position 0). In-place overwrite
+    with [C|L|U|d] as in the one-way packed kernel."""
+    del out_ref
+    dtype = x_ref.dtype
+    TB = x_ref.shape[0]
+    mr = T - ml
+    shift = ml - mr  # 0 (T even) or 1 (T odd)
+    dnb = (((2,), (1,)), ((0,), (0,)))
+
+    def fwd(pos, _):
+        blk = band_ref[:, :, pl.ds(pos, 1)].reshape(2 * TB, b, 3 * b + 1)
+        D = blk[:, :, :b]
+        L = blk[:, :, b : 2 * b]
+        U = blk[:, :, 2 * b : 3 * b]
+        r = blk[:, :, 3 * b :]
+        pp = jnp.maximum(pos - 1, 0)
+        prev = jnp.where(
+            pos > 0,
+            band_ref[:, :, pl.ds(pp, 1)].reshape(2 * TB, b, 3 * b + 1),
+            jnp.zeros((), dtype),
+        )
+        C_prev = prev[:, :, :b]
+        d_prev = prev[:, :, 3 * b :]
+        denom = D - lax.dot_general(L, C_prev, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        Ld = lax.dot_general(L, d_prev, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+        M = jnp.concatenate([denom, U, r - Ld], axis=2)
+        Cd = _solve_aug(M, b=b, fact=fact)  # (2TB, b, b+1)
+        blk_new = jnp.concatenate([Cd[:, :, :b], L, U, Cd[:, :, b:]], axis=2)
+        band_ref[:, :, pl.ds(pos, 1)] = blk_new.reshape(TB, 2, 1, b, 3 * b + 1)
+        return 0
+
+    lax.fori_loop(0, ml, fwd, 0, unroll=False)
+
+    # Junction: both directions' boundary factors live at position ml−1.
+    blkL = band_ref[:, 0:1, pl.ds(ml - 1, 1)].reshape(TB, b, 3 * b + 1)
+    blkR = band_ref[:, 1:2, pl.ds(ml - 1, 1)].reshape(TB, b, 3 * b + 1)
+    C_L, d_L = blkL[:, :, :b], blkL[:, :, 3 * b :]
+    E_R, e_R = blkR[:, :, :b], blkR[:, :, 3 * b :]
+    eye = (
+        lax.broadcasted_iota(jnp.int32, (1, b, b), 1)
+        == lax.broadcasted_iota(jnp.int32, (1, b, b), 2)
+    ).astype(dtype)
+    CE = lax.dot_general(C_L, E_R, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+    Ce = lax.dot_general(C_L, e_R, dnb, preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+    Mj = jnp.concatenate([eye - CE, d_L - Ce], axis=2)  # (TB, b, b+1)
+    x_ml1 = _solve_aug(Mj, b=b, fact=fact)[:, :, 0]  # x_{ml−1}  (TB, b)
+    x_ref[:, pl.ds(ml - 1, 1)] = x_ml1[:, None]
+    x_ml = (
+        e_R - lax.dot_general(E_R, x_ml1[:, :, None], dnb,
+                              preferred_element_type=dtype, precision=lax.Precision.HIGHEST)
+    )[:, :, 0]
+    x_ref[:, pl.ds(ml, 1)] = x_ml[:, None]
+
+    # Back-substitute both chains together: at step i, dir 0 produces
+    # x_{pos} and dir 1 produces x_{2ml−1−pos} with pos = ml−2−i. Chain
+    # lengths are ml−1 and mr−1; the common part runs fused, the odd-T
+    # leftover left step runs after the loop.
+    def bwd(i, x_prev):  # x_prev (TB, 2, b): [x_{pos+1}, x_{t_right−1}]
+        pos = ml - 2 - i
+        Cd = band_ref[:, :, pl.ds(pos, 1)].reshape(2 * TB, b, 3 * b + 1)
+        x2 = (
+            Cd[:, :, 3 * b :]
+            - lax.dot_general(
+                Cd[:, :, :b],
+                x_prev.reshape(2 * TB, b)[:, :, None],
+                dnb,
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
+            )
+        )[:, :, 0].reshape(TB, 2, b)
+        x_ref[:, pl.ds(pos, 1)] = x2[:, 0][:, None]
+        x_ref[:, pl.ds(2 * ml - 1 - pos, 1)] = x2[:, 1][:, None]
+        return x2
+
+    # Broadcast-select, not concatenate: the two vectors carry different
+    # internal lane offsets here and Mosaic rejects their concat along a
+    # non-lane dim ("result/input offset mismatch on non-concat dimension").
+    dir_iota = lax.broadcasted_iota(jnp.int32, (1, 2, 1), 1)
+    x_prev0 = jnp.where(dir_iota == 0, x_ml1[:, None], x_ml[:, None])
+    x_last = lax.fori_loop(0, mr - 1, bwd, x_prev0, unroll=False)
+    if shift:  # odd T: one extra left-only step at position 0
+        blk0 = band_ref[:, 0:1, pl.ds(0, 1)].reshape(TB, b, 3 * b + 1)
+        x0 = (
+            blk0[:, :, 3 * b :]
+            - lax.dot_general(
+                blk0[:, :, :b], x_last[:, 0][:, :, None], dnb,
+                preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
+            )
+        )[:, :, 0]
+        x_ref[:, pl.ds(0, 1)] = x0[:, None]
+
+
+# Lane-major VMEM budgets: the band window streamed per grid step (Mosaic
+# double-buffers it → 2x resident) and the whole-T [C|d] scratch that must
+# stay resident for the backward substitution. 32 + 40 (+ out + QR
+# temporaries) stays under the 96 MiB scoped-VMEM limit the kernel requests.
+LANES_BAND_VMEM_BYTES = 32 * 2**20
+LANES_CD_VMEM_BYTES = 40 * 2**20
+
+
+def _thomas_kernel_lanes(band_ref, x_ref, cd_ref, *, T: int, b8: int,
+                         Tc: int | None = None, C: int = 1):
+    """Lane-major ("batch-on-lanes") block-Thomas sweep.
+
+    The batch-major packed kernel stores each system's (b, 3b+1) block in a
+    Mosaic-padded (⌈b/8⌉·8, 128) tile — at the headline b=20 that is 2.5x
+    padding waste on a kernel that is measured VMEM-bandwidth-bound
+    (DESIGN.md §7). Here the layout is column-major with the BATCH on the
+    128-lane axis: band_ref (T, 3b8+1, b8, LB) where band[t, j] is matrix
+    COLUMN j of time-block t ([D | L | U | r] column groups), rows on
+    sublanes, LB = 128 systems on lanes — every tile 100% dense for any b.
+    Column access is a free untiled leading-dim index; each Householder
+    reflection is two full passes over the (2b8+1, b8, LB) augmented block
+    (one masked sublane-reduction read, one rank-1 update) versus the
+    batch-major kernel's ~5.7 padded passes. All block loops are statically
+    unrolled so every value slice is compile-time (no Mosaic gathers).
+
+    cd_ref scratch (T, b8+1, b8, LB) holds the solved [C | d] columns.
+    Blocks are identity-padded b → b8 = ⌈b/8⌉·8 host-side (decoupled rows,
+    x_pad = 0).
+
+    T-TILED VARIANT (C > 1, VERDICT r2 #3): band_ref is a (Tc, W, b8, LB)
+    WINDOW streamed by the Pallas pipeline over grid dim 1 (double-buffered
+    by Mosaic), so the full T·(3b8+1)·b8·128 band never has to fit VMEM —
+    only the ~3.2x-smaller cd scratch does. Grid step (i, c) forward-
+    eliminates chunk c's rows into the full-T cd scratch; the last chunk
+    runs the whole backward substitution (cd is VMEM-resident) and writes
+    the full x output block. Extends the lane-major win from the 32 MiB
+    band gate (b=20-class) to the N=4 flagship band (T=30, b=40 → 74 MiB).
+    """
+    dtype = x_ref.dtype
+    LB = x_ref.shape[-1]
+    if Tc is None:
+        Tc = T
+    c = pl.program_id(1) if C > 1 else 0
+    eps = jnp.asarray(1e-30, dtype)
+    srow = lax.broadcasted_iota(jnp.int32, (b8, LB), 0)
+
+    def qr_solve_cols(M):
+        # Solve M[:b8] X = M[b8:] in column storage; M (b8 + m, b8, LB) →
+        # X (m, b8, LB). Householder QR, statically unrolled.
+        for k in range(b8):
+            col = M[k]
+            below = (srow >= k).astype(dtype)
+            pivm = (srow == k).astype(dtype)
+            v = col * below
+            vk = jnp.sum(v * pivm, axis=0, keepdims=True)  # (1, LB)
+            norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True) + eps)
+            sign = jnp.where(vk >= 0, 1.0, -1.0).astype(dtype)
+            u = v + (sign * norm) * pivm
+            beta = 1.0 / (norm * (norm + jnp.abs(vk)) + eps)  # (1, LB)
+            w = jnp.sum(M * u[None], axis=1, keepdims=True)  # (nc, 1, LB)
+            M = M - (beta[None] * w) * u[None]
+        Q = M[b8:]  # RHS block → X, built in place
+        for k in range(b8 - 1, -1, -1):
+            rk = M[k]  # R column k
+            pivm = (srow == k).astype(dtype)
+            strict = (srow < k).astype(dtype)
+            rkk = jnp.sum(rk * pivm, axis=0, keepdims=True)
+            qk = jnp.sum(Q * pivm[None], axis=1, keepdims=True)  # (m,1,LB)
+            xk = qk / rkk[None]
+            Q = jnp.where(pivm[None] > 0, xk, Q - xk * (rk * strict)[None])
+        return Q
+
+    def fwd(t, _):
+        blk = band_ref[pl.ds(t, 1)][0]  # (3b8+1, b8, LB)
+        D = blk[:b8]
+        Lc = blk[b8 : 2 * b8]
+        U = blk[2 * b8 : 3 * b8]
+        r = blk[3 * b8 :]  # (1, b8, LB)
+        tg = c * Tc + t  # global time index (cd spans all T)
+        tp = jnp.maximum(tg - 1, 0)
+        prev = jnp.where(
+            tg > 0, cd_ref[pl.ds(tp, 1)][0], jnp.zeros((), dtype)
+        )  # (b8+1, b8, LB): [C cols | d col] of step t−1
+        # L @ [C | d] in column storage: out_col_j = Σ_k L_col_k · prev[j, k]
+        # (static unroll: every sublane extraction is a compile-time mask).
+        LCd = jnp.zeros((), dtype)
+        for k in range(b8):
+            sk = jnp.sum(
+                prev * (srow == k).astype(dtype)[None], axis=1, keepdims=True
+            )  # (b8+1, 1, LB)
+            LCd = LCd + sk * Lc[k][None]
+        denom = D - LCd[:b8]
+        rhs = jnp.concatenate([U, r - LCd[b8:]], axis=0)  # (b8+1, b8, LB)
+        M = jnp.concatenate([denom, rhs], axis=0)
+        cd_ref[pl.ds(tg, 1)] = qr_solve_cols(M)[None]
+        return 0
+
+    lax.fori_loop(0, Tc, fwd, 0, unroll=False)
+
+    def backward_substitute():
+        def bwd(i, x_next):
+            t = T - 1 - i
+            cd = cd_ref[pl.ds(t, 1)][0]  # (b8+1, b8, LB)
+            acc = cd[b8]  # d column values
+            for j in range(b8):
+                xj = jnp.sum(
+                    x_next * (srow == j).astype(dtype), axis=0, keepdims=True
+                )  # (1, LB)
+                acc = acc - cd[j] * xj
+            x_ref[pl.ds(t, 1)] = acc[None]
+            return acc
+
+        lax.fori_loop(0, T, bwd, jnp.zeros((b8, LB), dtype), unroll=False)
+
+    if C > 1:
+        # Only once the final chunk's forward elimination has filled cd.
+        pl.when(c == C - 1)(backward_substitute)
+    else:
+        backward_substitute()
+
+
+def _pallas_block_thomas_lanes(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
+    """Lane-major dispatch: identity-pad blocks b → b8, transpose to
+    column-major batch-on-lanes storage, one grid step per 128 systems.
+
+    When the full band block exceeds LANES_BAND_VMEM_BYTES the T axis is
+    tiled: the band streams through a double-buffered (Tc, W, b8, 128)
+    VMEM window over an inner grid dimension while the ~3.2x-smaller
+    [C|d] scratch stays resident (see _thomas_kernel_lanes, T-tiled
+    variant). T is padded to a Tc multiple with decoupled identity rows
+    (x_pad = 0, U into the padding is zero so real solutions are exact)."""
+    del fact  # QR only (stability at full lane density)
+    B, T, b, _ = diag.shape
+    dtype = diag.dtype
+    b8 = -(-b // 8) * 8
+    LB = 128
+    if b8 > b:
+        p = b8 - b
+        eye_tail = jnp.concatenate(
+            [jnp.zeros((p, b), dtype), jnp.eye(p, dtype=dtype)], axis=1
+        )  # (p, b8)
+        def pad_blocks(A, tail):
+            A = jnp.concatenate([A, jnp.zeros((B, T, A.shape[2], p), dtype)], axis=3)
+            return jnp.concatenate(
+                [A, jnp.broadcast_to(tail, (B, T, p, b8))], axis=2
+            )
+        diag = pad_blocks(diag, eye_tail)
+        zero_tail = jnp.zeros((p, b8), dtype)
+        lower_pad = pad_blocks(lower_pad, zero_tail)
+        upper_pad = pad_blocks(upper_pad, zero_tail)
+        rhs = jnp.concatenate([rhs, jnp.zeros((B, T, p), dtype)], axis=2)
+    W = 3 * b8 + 1
+    itemsize = jnp.dtype(dtype).itemsize
+    per_t_bytes = W * b8 * LB * itemsize
+    if T * per_t_bytes <= LANES_BAND_VMEM_BYTES:
+        Tc, C = T, 1
+    else:
+        # Window sized to half the band budget (Mosaic double-buffers it).
+        Tc = max(1, (LANES_BAND_VMEM_BYTES // 2) // per_t_bytes)
+        C = -(-T // Tc)
+    if T % Tc != 0:  # pad T with decoupled identity rows
+        tp = C * Tc - T
+        eye_t = jnp.broadcast_to(jnp.eye(b8, dtype=dtype), (B, tp, b8, b8))
+        diag = jnp.concatenate([diag, eye_t], axis=1)
+        zpad = jnp.zeros((B, tp, b8, b8), dtype)
+        lower_pad = jnp.concatenate([lower_pad, zpad], axis=1)
+        upper_pad = jnp.concatenate([upper_pad, zpad], axis=1)
+        rhs = jnp.concatenate([rhs, jnp.zeros((B, tp, b8), dtype)], axis=1)
+    T_pad = C * Tc
+    # Column-major batch-on-lanes: (B, T, i, j) → (T, j, i, B).
+    to_cols = lambda A: jnp.transpose(A, (1, 3, 2, 0))
+    band = jnp.concatenate(
+        [to_cols(diag), to_cols(lower_pad), to_cols(upper_pad),
+         jnp.transpose(rhs, (1, 2, 0))[:, None]],
+        axis=1,
+    )  # (T_pad, 3b8+1, b8, B)
+    grid = (B // LB, C)
+    x = pl.pallas_call(
+        functools.partial(
+            _thomas_kernel_lanes, T=T_pad, b8=b8, Tc=Tc, C=C
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Tc, W, b8, LB), lambda i, c: (c, 0, 0, i),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((T_pad, b8, LB), lambda i, c: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, b8, B), dtype),
+        scratch_shapes=[pltpu.VMEM((T_pad, b8 + 1, b8, LB), dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=B * T_pad * (2 * b8**3 + 6 * b8**3),
+            bytes_accessed=B * T_pad * b8 * W * 4 * 2,
+            transcendentals=B * T_pad * b8,
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2**20
+        ),
+        interpret=interpret,
+    )(band)
+    return jnp.transpose(x, (2, 0, 1))[:B, :T, :b]
+
+
+def _eye_like(TB: int, b: int, dtype):
+    """Identity blocks via iota (no host constant materialization)."""
+    return (
+        lax.broadcasted_iota(jnp.int32, (TB, 1, b, b), 2)
+        == lax.broadcasted_iota(jnp.int32, (TB, 1, b, b), 3)
+    ).astype(dtype)
+
+
+def _cr_solve(D, L, U, r, *, b: int, fact: str = "qr"):
+    """In-kernel block cyclic reduction (trace-time recursion over levels).
+
+    D/L/U (TB, T, b, b), r (TB, T, b, 1); L[t] couples row t to t−1
+    (L[0] = 0), U[t] couples row t to t+1 (U[T−1] = 0). Returns x
+    (TB, T, b, 1).
+
+    Each level eliminates the odd-position blocks with ONE batched QR over
+    (TB·T/2) systems — the time axis folds into the batch axis, so serial
+    depth is ~log₂T batched factorizations instead of the Thomas sweep's T
+    (the BABE sweep's T/2). At the flagship T=30 that is ~5 levels; the
+    per-level ops are also 15x fatter, which matters on the VPU at small
+    batch. ~2.3x the flops of Thomas — a good trade where the kernel is
+    serial-latency-bound (measured: everywhere we run it).
+
+    Algebra identical to block_tridiag.block_cyclic_reduction_solve; Mosaic
+    constraints shape the implementation: pair-reshape + leading-dim slices
+    instead of strided gathers, lane-aligned concats only.
+    """
+    dtype = D.dtype
+    TB, T = D.shape[0], D.shape[1]
+    if T == 1:
+        M = jnp.concatenate([D[:, 0], r[:, 0]], axis=2)  # (TB, b, b+1)
+        return _solve_aug(M, b=b, fact=fact)[:, None]
+    if T % 2 == 1:
+        # Pad with a decoupled identity block (x_pad = 0); U[T−1] is zero so
+        # the real system never sees it. Recurse on the even-length system
+        # and strip the pad from the result.
+        zero_blk = jnp.zeros((TB, 1, b, b), dtype)
+        D = jnp.concatenate([D, _eye_like(TB, b, dtype)], axis=1)
+        L = jnp.concatenate([L, zero_blk], axis=1)
+        U = jnp.concatenate([U, zero_blk], axis=1)
+        r = jnp.concatenate([r, jnp.zeros((TB, 1, b, 1), dtype)], axis=1)
+        return _cr_solve(D, L, U, r, b=b, fact=fact)[:, :T]
+    H = T // 2
+
+    def pairs(A):
+        # (TB, T, b, c) -> even (TB, H, b, c), odd (TB, H, b, c); leading-dim
+        # reshape + pure index, no strided gather.
+        Ap = A.reshape(TB, H, 2, *A.shape[2:])
+        return Ap[:, :, 0], Ap[:, :, 1]
+
+    De, Do = pairs(D)
+    Le, Lo = pairs(L)
+    Ue, Uo = pairs(U)
+    re, ro = pairs(r)
+
+    # Solve D_odd [L_odd | U_odd | r_odd] with one batched QR over TB·H.
+    M = jnp.concatenate([Do, Lo, Uo, ro], axis=3).reshape(TB * H, b, 3 * b + 1)
+    sol = _solve_aug(M, b=b, fact=fact).reshape(TB, H, b, 2 * b + 1)
+    DL = sol[:, :, :, :b]  # D_odd⁻¹ L_odd
+    DU = sol[:, :, :, b : 2 * b]  # D_odd⁻¹ U_odd
+    Dr = sol[:, :, :, 2 * b :]  # D_odd⁻¹ r_odd  (TB, H, b, 1)
+
+    def shift_prev(A):
+        # value at pair k ← pair k−1 (zero at k=0): the previous odd block.
+        # H == 1 has no previous pair; Mosaic rejects the zero-size slice
+        # A[:, :-1] that the general expression would create.
+        if H == 1:
+            return jnp.zeros_like(A)
+        return jnp.concatenate(
+            [jnp.zeros_like(A[:, :1]), A[:, :-1]], axis=1
+        )
+
+    DL_prev, DU_prev, Dr_prev = shift_prev(DL), shift_prev(DU), shift_prev(Dr)
+
+    def bmm(A, Bm):
+        # (TB, H, b, p) @ (TB, H, p, q) via a flat batch dim.
+        p, q = A.shape[3], Bm.shape[3]
+        return lax.dot_general(
+            A.reshape(TB * H, b, p),
+            Bm.reshape(TB * H, p, q),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(TB, H, b, q)
+
+    D_new = De - bmm(Ue, DL) - bmm(Le, DU_prev)
+    r_new = re - bmm(Ue, Dr) - bmm(Le, Dr_prev)
+    L_new = -bmm(Le, DL_prev)
+    U_new = -bmm(Ue, DU)
+
+    x_even = _cr_solve(D_new, L_new, U_new, r_new, b=b, fact=fact)  # (TB, H, b, 1)
+
+    # Back-substitute the odd blocks: odd 2k+1 sees even 2k (pair k) and
+    # even 2k+2 (pair k+1; zero past the end — DU there is zero anyway).
+    if H == 1:
+        x_even_next = jnp.zeros_like(x_even)
+    else:
+        x_even_next = jnp.concatenate(
+            [x_even[:, 1:], jnp.zeros_like(x_even[:, :1])], axis=1
+        )
+    x_odd = Dr - bmm(DL, x_even) - bmm(DU, x_even_next)
+
+    # Interleave: stack on a new pair axis then merge into time.
+    x = jnp.stack([x_even, x_odd], axis=2).reshape(TB, T, b, 1)
+    return x
+
+
+def _thomas_kernel_cr_packed(band_ref, x_ref, *, T: int, b: int, fact: str = "qr"):
+    """Cyclic-reduction variant of the packed kernel: band_ref
+    (TB, T, b, 3b+1) holds [D|L|U|r]; one grid step solves the whole tile
+    in ~log₂T batched levels (see _cr_solve)."""
+    blk = band_ref[:]  # (TB, T, b, 3b+1)
+    D = blk[:, :, :, :b]
+    L = blk[:, :, :, b : 2 * b]
+    U = blk[:, :, :, 2 * b : 3 * b]
+    r = blk[:, :, :, 3 * b :]
+    x = _cr_solve(D, L, U, r, b=b, fact=fact)
+    x_ref[:] = x[:, :, :, 0]
+
+
+def _thomas_kernel_cr_split(d_ref, l_ref, u_ref, r_ref, x_ref, *, T: int, b: int, fact: str = "qr"):
+    """Separate-input CR kernel for wide blocks (3b+1 > 128, e.g. the
+    flagship b=100): no lane packing, each band its own ref."""
+    x = _cr_solve(d_ref[:], l_ref[:], u_ref[:], r_ref[:][:, :, :, None], b=b, fact=fact)
+    x_ref[:] = x[:, :, :, 0]
+
+
+def _pallas_block_thomas_cr(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
+    """Cyclic-reduction dispatch: packed layout when [D|L|U|r] fits one
+    128-lane tile, separate band inputs otherwise (large b)."""
+    B, T, b, _ = diag.shape
+    grid = (B // batch_tile,)
+    out_spec = pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=B * T * (5 * b**3 + 14 * b**3),
+        bytes_accessed=B * T * b * (3 * b + 1) * 4 * 2,
+        transcendentals=B * T * b,
+    )
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=96 * 2**20
+    )
+    if 3 * b + 1 <= 128:
+        packed = jnp.concatenate(
+            [diag, lower_pad, upper_pad, rhs[..., None]], axis=3
+        )  # (B, T, b, 3b+1)
+        W = 3 * b + 1
+        return pl.pallas_call(
+            functools.partial(_thomas_kernel_cr_packed, T=T, b=b, fact=fact),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((batch_tile, T, b, W), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+            cost_estimate=cost,
+            compiler_params=params,
+            interpret=interpret,
+        )(packed)
+    blk4 = pl.BlockSpec((batch_tile, T, b, b), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_thomas_kernel_cr_split, T=T, b=b, fact=fact),
+        grid=grid,
+        in_specs=[blk4, blk4, blk4,
+                  pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        cost_estimate=cost,
+        compiler_params=params,
+        interpret=interpret,
+    )(diag, lower_pad, upper_pad, rhs)
+
+
+def _pallas_block_thomas_babe(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
+    """Two-way packed dispatch: build the direction-folded band layout."""
+    B, T, b, _ = diag.shape
+    ml = (T + 1) // 2
+    mr = T - ml
+    shift = ml - mr
+    W = 3 * b + 1
+    left = jnp.concatenate(
+        [diag[:, :ml], lower_pad[:, :ml], upper_pad[:, :ml], rhs[:, :ml, :, None]],
+        axis=3,
+    )
+    # Right direction: time-reversed, with the lower/upper roles swapped
+    # (coupling to the sweep's previous step = original upper).
+    right = jnp.concatenate(
+        [diag[:, ml:], upper_pad[:, ml:], lower_pad[:, ml:], rhs[:, ml:, :, None]],
+        axis=3,
+    )[:, ::-1]
+    if shift:
+        pad_blk = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(b, dtype=diag.dtype), (B, 1, b, b)),
+                jnp.zeros((B, 1, b, 2 * b + 1), diag.dtype),
+            ],
+            axis=3,
+        )
+        right = jnp.concatenate([pad_blk, right], axis=1)
+    band = jnp.stack([left, right], axis=1)  # (B, 2, ml, b, W)
+    grid = (B // batch_tile,)
+    kernel = functools.partial(_thomas_kernel_babe, T=T, b=b, ml=ml, fact=fact)
+    blk = pl.BlockSpec(
+        (batch_tile, 2, ml, b, W), lambda i: (i, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    _, x = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk],
+        out_specs=[
+            blk,
+            pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 2, ml, b, W), diag.dtype),
+            jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * b**3 + 6 * b**3),
+            bytes_accessed=B * T * b * W * 4 * 2,
+            transcendentals=B * T * b,
+        ),
+        # The direction-folded temporaries push the default 16MB scoped
+        # budget ~7% over at the largest tile; v5e has headroom above it.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
+        interpret=interpret,
+    )(band)
+    return x
+
+
+def _pallas_block_thomas_packed(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
+    """Lane-packed dispatch: pack [D|L|U|r] host-side, alias in/out."""
+    B, T, b, _ = diag.shape
+    packed = jnp.concatenate(
+        [diag, lower_pad, upper_pad, rhs[..., None]], axis=3
+    )  # (B, T, b, 3b+1)
+    grid = (B // batch_tile,)
+    kernel = functools.partial(_thomas_kernel_packed, T=T, b=b, fact=fact)
+    W = 3 * b + 1
+    blk = pl.BlockSpec(
+        (batch_tile, T, b, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    _, x = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk],
+        out_specs=[
+            blk,
+            pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, b, W), diag.dtype),
+            jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * b**3 + 6 * b**3),
+            bytes_accessed=B * T * b * W * 4 * 2,
+            transcendentals=B * T * b,
+        ),
+        # Same scoped-VMEM headroom as the two-way variant: at B ≥ 512 the
+        # while-loop-resident whole-batch operands push the stack past the
+        # 16 MB Mosaic default (measured 30 MB at B=512, T=10, b=20).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20
+        ),
+        interpret=interpret,
+    )(packed)
+    return x
+
+
+def pallas_block_thomas(
+    diag: Array,
+    lower: Array,
+    upper: Array,
+    rhs: Array,
+    *,
+    batch_tile: int | None = None,
+    vmem_budget_bytes: int = 10 * 2**20,
+    interpret: bool | None = None,
+    two_way: bool | None = None,
+    mode: str | None = None,
+    fact: str = "qr",
+) -> Array:
+    """Batched fused block-Thomas: diag (B,T,b,b), lower/upper (B,T−1,b,b),
+    rhs (B,T,b) → x (B,T,b). Batch tile defaults to the whole batch capped
+    by the VMEM budget (bands + scratch).
+
+    mode: None (auto), "oneway", "babe" (two-way sweep), or "cr" (in-kernel
+    cyclic reduction, ~log₂T serial depth). ``two_way`` is the legacy alias
+    for mode="babe". fact: the in-kernel block factorization — "qr"
+    (Householder) or "gj" (pivot-free Gauss–Jordan, ~2.5x less VMEM
+    traffic; see _gj_solve_aug)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, T, b, _ = diag.shape
+    zero = jnp.zeros((B, 1, b, b), diag.dtype)
+    lower_pad = jnp.concatenate([zero, lower], axis=1)  # [t] couples t→t−1
+    upper_pad = jnp.concatenate([upper, zero], axis=1)  # [t] couples t→t+1
+    # Lane-packed in-place kernel whenever [D|L|U|r] fits one 128-lane tile
+    # per block: ~4x less VMEM per system (one padded array, no scratch) →
+    # a 2-4x larger batch tile → proportionally fewer sequential grid steps.
+    packed = 3 * b + 1 <= 128
+    if mode is None and two_way is not None:
+        mode = "babe" if (two_way and packed and T >= 2) else "oneway"
+    if mode is None:
+        # Measured (v5e): the lane-major sweep dominates the large-batch
+        # small-block regime — headline B=256/T=10/b=20: 5214.8 vs 1241.6
+        # solves/s end-to-end (identical iterates; the batch-major packed
+        # tile wastes 2.5x VMEM traffic on Mosaic padding and its QR passes
+        # cost ~2x more — DESIGN.md §7). Gate on a full 128-lane tile of
+        # systems and the [C|d] scratch fitting VMEM — the band itself no
+        # longer has to: past LANES_BAND_VMEM_BYTES it streams through a
+        # double-buffered T-window (T-tiled variant, VERDICT r2 #3), which
+        # admits the N=4 flagship band (T=30, b=40 → 74 MiB).
+        # The lane-major kernel factorizes with QR only — an explicitly
+        # requested GJ/GJP tier must keep its factorization (tier semantics
+        # + numerics comparisons), so the gate applies to fact="qr" alone.
+        b8 = -(-b // 8) * 8
+        cd_bytes = T * (b8 + 1) * b8 * 128 * diag.dtype.itemsize
+        if T >= PALLAS_THOMAS_CR_MIN_T:
+            # Every sweep variant (oneway/babe/lanes) is block LU without
+            # inter-block pivoting; long chains hit elimination growth
+            # (measured stall at T=64 — see PALLAS_THOMAS_CR_MIN_T). CR's
+            # elimination order is stable there and honors `fact`.
+            mode = "cr"
+        elif B >= 128 and cd_bytes <= LANES_CD_VMEM_BYTES and fact == "qr":
+            mode = "lanes"
+        else:
+            # The two-way sweep wins where the serial chain dominates —
+            # flagship T=30/b=40: 69.2 vs 58.0 solves/s in-solver — but its
+            # host-side time-reversal copy costs ~9% at short-horizon
+            # big-batch shapes (T=10 lane-change: 779 vs 705 at B=128).
+            mode = "babe" if (packed and T >= 20) else "oneway"
+    # The two-way sweep needs a junction between two blocks; at T=1 its
+    # x_{ml} store would be out of bounds.
+    if mode == "babe" and not (packed and T >= 2):
+        mode = "oneway"
+    if mode == "lanes":
+        # Lane-major: the lane axis carries exactly 128 systems per tile.
+        batch_tile = 128
+    if batch_tile is None:
+        # Mosaic pads the last two dims to (8, 128) tiles — a (20, 20)
+        # block occupies (24, 128) in VMEM. Unpacked, the kernel's scoped
+        # VMEM is ~2 padded band-arrays per system (measured 16.2 MB at
+        # B=64, T=10, b=20); packed, one; the CR level temporaries cost ~3
+        # packed-array equivalents (~6 unpacked). Budget and floor to a
+        # power of two.
+        pad8 = -(-b // 8) * 8
+        lanes = -(-b // 128) * 128
+        if mode == "cr":
+            mult, lane_w = (3, 128) if packed else (6, lanes)
+        else:
+            mult, lane_w = (1, 128) if packed else (2, lanes)
+        per_sys = T * pad8 * lane_w * diag.dtype.itemsize * mult
+        cap = max(1, min(B, vmem_budget_bytes // max(per_sys, 1)))
+        batch_tile = 1 << (cap.bit_length() - 1)  # largest pow2 ≤ cap
+    if mode == "cr":
+        impl = _pallas_block_thomas_cr
+    elif mode == "babe":
+        impl = _pallas_block_thomas_babe
+    elif mode == "lanes":
+        impl = _pallas_block_thomas_lanes
+    elif packed:
+        impl = _pallas_block_thomas_packed
+    else:
+        impl = _pallas_block_thomas_padded
+    if B % batch_tile != 0:
+        pad = batch_tile - B % batch_tile
+        eyeb = jnp.broadcast_to(
+            jnp.eye(b, dtype=diag.dtype), (pad, T, b, b)
+        )
+        diag = jnp.concatenate([diag, eyeb])
+        lower_pad = jnp.concatenate(
+            [lower_pad, jnp.zeros((pad, T, b, b), diag.dtype)]
+        )
+        upper_pad = jnp.concatenate(
+            [upper_pad, jnp.zeros((pad, T, b, b), diag.dtype)]
+        )
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad, T, b), rhs.dtype)])
+        return impl(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact)[:B]
+    return impl(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact)
+
+
+def _pallas_block_thomas_padded(diag, lower_pad, upper_pad, rhs, batch_tile, interpret, fact="qr"):
+    B, T, b, _ = diag.shape
+    grid = (B // batch_tile,)
+    kernel = functools.partial(_thomas_kernel, T=T, b=b)
+    blk4 = pl.BlockSpec(
+        (batch_tile, T, b, b), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk4, blk4, blk4,
+                  pl.BlockSpec((batch_tile, T, b), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (batch_tile, T, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, b), diag.dtype),
+        scratch_shapes=[pltpu.VMEM((batch_tile, T, b, b + 1), diag.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * (2 * b**3 + 6 * b**3),
+            bytes_accessed=B * T * b * b * 4 * 3,
+            transcendentals=B * T * b,
+        ),
+        interpret=interpret,
+    )(diag, lower_pad, upper_pad, rhs)
+
+
+# Measured crossover (v5e, masked-game h=30 batch-8 sweep, round 2): the
+# fused sweep kernel (QR factorization) wins while blocks are small and the
+# XLA scan's serial dispatch chain dominates —
+#   b=20 (lane-change): 724 vs 288 solves/s      b=50 (N=5): 25.0 vs 18.8
+#   b=40 (N=4):          60.2 vs 18.6            b=60 (N=6):  6.9 vs  6.6
+# and loses above, where the in-kernel O(b³) pivot-free QR dominates and
+# f32 accuracy costs iterations/success —
+#   b=70 (N=7): 6.3 vs 8.1    b=80 (N=8): 2.4 (success 0.88) vs 7.9
+#   b=100 (N=10): 0.79 (success 0.75) vs 3.19.
+# ABOVE the cut, the in-kernel cyclic reduction beats the XLA scan in the
+# depth-bound small-batch regime (time axis folded into the batch axis:
+# ~log₂T fat levels instead of T skinny LU dispatches) — N=10/h=30/batch-8
+# flagship: 6.19 vs 3.20 solves/s at success 1.0 with the pivoted
+# Gauss–Jordan factorization. GJP is the large-b CR factorization by
+# necessity as well as speed: this Mosaic version fails to compile the QR
+# reductions at wide blocks/small tiles ("Offset change" on (1, b)
+# multi_reductions), and GJP's measured residual degradation (7e-2 vs
+# 1.5e-3 on a cond-3e4 probe) costs the IP loop only ~0.5 median outer
+# iterations at N=10 (success 1.0).
+PALLAS_THOMAS_MAX_BLOCK = 64
+
+# Long-chain stability cliff (measured, round 3): the sequential block-Thomas
+# sweep is block LU WITHOUT inter-block pivoting, and on the T=64 lane-change
+# KKT systems its elimination growth stalls the IP loop (kkt plateaus ~1e2
+# in f64) while cyclic reduction — a different elimination order over the
+# same bands — matches the dense tier (24 outer iterations). T=48 chains are
+# fine; the auto tier switches to CR at the first measured failing length.
+PALLAS_THOMAS_CR_MIN_T = 64
+
+
+# Mid-block small-batch cut (measured N=4 h=30, b=40, v5e round 3): at
+# batch 8 the CR+GJP kernel runs 139.2 solves/s vs the QR sweep's 77.7
+# (success 1.0, identical outer counts), while at batch 128 the T-tiled
+# lane-major QR sweep wins (121.1 vs crgjp 79.3). The crossover is the
+# lanes gate's own B >= 128 tile requirement, so the batch-aware auto tier
+# routes 32 < b <= 64 by batch size.
+PALLAS_THOMAS_MIDBLOCK = 32
+
+
+def _auto_pick(B: int, T: int, b: int):
+    """(mode, fact) for the batch-aware auto tier (see crossover notes)."""
+    if b > PALLAS_THOMAS_MAX_BLOCK:
+        # Wide blocks: CR + REFINED pivoted Gauss–Jordan since round 3:
+        # GJP's pivot-growth envelope dropped 12% of N=10 (b=100) instances
+        # under the polish certifier (success 0.88, frac 0.875) while one
+        # in-kernel refinement step restores success 1.00 / frac 1.000 AND
+        # runs 1.5x faster end-to-end under polish (3.72 vs 2.40 solves/s).
+        return "cr", "gjpr"
+    if T >= PALLAS_THOMAS_CR_MIN_T:
+        return "cr", "qr"
+    if b > PALLAS_THOMAS_MIDBLOCK and B < 128:
+        return "cr", "gjp"
+    return None, "qr"  # sweep ladder; lane-major auto-gate at B >= 128
+
+
+@jax.custom_batching.custom_vmap
+def auto_thomas_solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+    """Shape- AND batch-aware Thomas solve (tier "tridiag_auto"): fused
+    Pallas sweep (QR / lane-major) for small blocks, in-kernel cyclic
+    reduction for long chains (sweep elimination growth, see
+    PALLAS_THOMAS_CR_MIN_T), CR + pivoted Gauss–Jordan for mid blocks at
+    small batch (PALLAS_THOMAS_MIDBLOCK), and CR + refined GJ for wide
+    blocks. Unlike the fixed-factorization tiers this dispatcher makes no
+    factorization promise — it picks the measured winner per regime."""
+    T, b = diag.shape[-3], diag.shape[-1]
+    mode, fact = _auto_pick(1, T, b)
+    return pallas_block_thomas(
+        diag[None], lower[None], upper[None], rhs[None], mode=mode, fact=fact
+    )[0]
+
+
+@auto_thomas_solve.def_vmap
+def _auto_vmap(axis_size, in_batched, diag, lower, upper, rhs):
+    ops = [diag, lower, upper, rhs]
+    for i, (batched, op) in enumerate(zip(in_batched, ops)):
+        if not batched:
+            ops[i] = jnp.broadcast_to(op[None], (axis_size,) + op.shape)
+    diag, lower, upper, rhs = ops
+    lead = diag.shape[:-3]
+    T, b = diag.shape[-3], diag.shape[-1]
+    B = 1
+    for d in lead:
+        B *= d
+    mode, fact = _auto_pick(B, T, b)
+    out = pallas_block_thomas(
+        diag.reshape(-1, T, b, b),
+        lower.reshape(-1, T - 1, b, b),
+        upper.reshape(-1, T - 1, b, b),
+        rhs.reshape(-1, T, b),
+        mode=mode,
+        fact=fact,
+    )
+    return out.reshape(*lead, T, b), True
+
+
+def _make_thomas_solve(mode: str | None, fact: str = "qr"):
+    """Single-instance entry with a custom vmap rule so the solver's
+    per-instance vmap reaches the kernel as one whole-batch call."""
+
+    @jax.custom_batching.custom_vmap
+    def solve(diag: Array, lower: Array, upper: Array, rhs: Array) -> Array:
+        return pallas_block_thomas(
+            diag[None], lower[None], upper[None], rhs[None], mode=mode,
+            fact=fact,
+        )[0]
+
+    @solve.def_vmap
+    def _vmap(axis_size, in_batched, diag, lower, upper, rhs):
+        ops = [diag, lower, upper, rhs]
+        for i, (batched, op) in enumerate(zip(in_batched, ops)):
+            if not batched:
+                ops[i] = jnp.broadcast_to(op[None], (axis_size,) + op.shape)
+        diag, lower, upper, rhs = ops
+        lead = diag.shape[:-3]
+        T, b = diag.shape[-3], diag.shape[-1]
+        out = pallas_block_thomas(
+            diag.reshape(-1, T, b, b),
+            lower.reshape(-1, T - 1, b, b),
+            upper.reshape(-1, T - 1, b, b),
+            rhs.reshape(-1, T, b),
+            mode=mode,
+            fact=fact,
+        )
+        return out.reshape(*lead, T, b), True
+
+    return solve
+
+
+#: Sweep-mode auto-select (the measured default ladder).
+thomas_solve = _make_thomas_solve(None)
+#: In-kernel cyclic reduction (~log₂T serial depth; tier "tridiag_pallas_cr").
+cr_thomas_solve = _make_thomas_solve("cr")
+#: Gauss–Jordan factorization variant (tier "tridiag_pallas_gj").
+gj_thomas_solve = _make_thomas_solve(None, fact="gj")
+#: Pivoted Gauss–Jordan (tier "tridiag_pallas_gjp").
+gjp_thomas_solve = _make_thomas_solve(None, fact="gjp")
+#: CR + Gauss–Jordan (tier "tridiag_pallas_crgj").
+crgj_thomas_solve = _make_thomas_solve("cr", fact="gj")
+#: CR + pivoted Gauss–Jordan (tier "tridiag_pallas_crgjp").
+crgjp_thomas_solve = _make_thomas_solve("cr", fact="gjp")
+#: Pivoted Gauss–Jordan + in-kernel iterative refinement
+#: (tier "tridiag_pallas_gjpr").
+gjpr_thomas_solve = _make_thomas_solve(None, fact="gjpr")
+#: CR + refined pivoted Gauss–Jordan (tier "tridiag_pallas_crgjpr").
+crgjpr_thomas_solve = _make_thomas_solve("cr", fact="gjpr")
+#: Lane-major batch-on-lanes sweep (tier "tridiag_pallas_lanes").
+lanes_thomas_solve = _make_thomas_solve("lanes")

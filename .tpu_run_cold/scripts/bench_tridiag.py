@@ -1,0 +1,203 @@
+"""Tridiag-vs-schur tier comparison at two scales: the lane-change bench
+(n=200) and the reference-flagship masked game (N players, horizon 30,
+n = 30·10·N... e.g. N=4 → n=1200) where the reference measured 5.04 s per
+receding-horizon step on CPU (BASELINE.md)."""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--batch", type=int, default=16)
+parser.add_argument("--players", type=int, default=4)
+parser.add_argument("--horizon", type=int, default=30)
+parser.add_argument("--tiers", nargs="*", default=["schur", "tridiag"])
+parser.add_argument("--repeats", type=int, default=3)
+parser.add_argument("--skip-lane-change", action="store_true")
+# Certified solves: terminal polish to true ||F||inf <= tol (VERDICT r2 #4's
+# flagship criterion is "certified at tol 1e-4 with success 1.0").
+parser.add_argument("--polish", action="store_true")
+parser.add_argument("--tol", type=float, default=1e-4)
+# ϵ-annealing rate: default stays the reference schedule (0.1,
+# src/solver.jl:44); the headline bench's tuned 0.02 anneals faster at the
+# same algorithm (certification via --polish keeps it honest).
+# "auto" = the shape-keyed rule (solver.auto_tightening_rate); a float
+# forces a specific rate (the reference default is 0.1, src/solver.jl:44).
+parser.add_argument("--tightening-rate", default="auto")
+# IP algorithm: "ip" (reference-parity annealed loop), "mehrotra", or
+# "hybrid" (annealed warm-up -> Mehrotra tail — the measured N=4 b=8
+# winner: 494 vs 726 ms/batch-8 on CPU, certified). refinement-steps=0
+# skips the PC iterative-refinement back-solves (polish re-certifies).
+parser.add_argument("--algorithm", default="ip", choices=["ip", "mehrotra", "hybrid"])
+parser.add_argument("--refinement-steps", type=int, default=1)
+parser.add_argument("--hybrid-switch-tol", type=float, default=3e-2)
+# In-graph device-rate measurement (one fori_loop dispatch over 3 fresh
+# batches) in addition to the per-dispatch host timing.
+parser.add_argument("--ingraph", action="store_true")
+args = parser.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    try:  # persistent compile cache shared with bench.py / tpu_smoke.py
+        import os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from mcp_tpu.utils.devices import enable_host_probe_backend
+
+    enable_host_probe_backend()  # builder probes compile locally, not via tunnel
+
+from mcp_tpu.bench import lane_change as lc
+from mcp_tpu.parallel.batch import batch_statistics, solve_batch
+from mcp_tpu.selection.games import setup_road_environment, setup_trajectory_game
+from mcp_tpu.selection.runner import MaskedGameRunner
+from mcp_tpu.solver import SolverOptions
+
+print("device:", jax.devices()[0])
+
+
+def bench(mcp, thetas, tier, x0=None, repeats=None):
+    repeats = repeats if repeats is not None else args.repeats
+    from mcp_tpu.solver import auto_tightening_rate
+
+    rate = (
+        auto_tightening_rate(mcp)
+        if args.tightening_rate == "auto"
+        else float(args.tightening_rate)
+    )
+    opts = SolverOptions(
+        linear_solver=tier,
+        polish=args.polish,
+        tol=args.tol,
+        tightening_rate=rate,
+        algorithm=args.algorithm,
+        refinement_steps=args.refinement_steps,
+        hybrid_switch_tol=args.hybrid_switch_tol,
+    )
+    sol = solve_batch(mcp, thetas, x0=x0, options=opts)
+    jax.block_until_ready(sol.x)
+    times = []
+    th = thetas
+    for r in range(repeats):
+        # Fresh bytes per repeat + median (not min): same hardening as
+        # harness.benchmark_batched — identical repeated dispatches can be
+        # collapsed by backend caching on the experimental axon platform.
+        th = thetas + 1e-4 * jax.random.normal(
+            jax.random.PRNGKey(100 + r), thetas.shape, thetas.dtype
+        )
+        jax.block_until_ready(th)
+        t0 = time.perf_counter()
+        sol = solve_batch(mcp, th, x0=x0, options=opts)
+        jax.block_until_ready(sol.x)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    # Scalar-force cross-check: on the axon tunnel block_until_ready on a
+    # device buffer can return long before the computation finishes
+    # (measured 1600x on the QP suite — scripts/diag_qp_timing.py). Forcing
+    # the VALUE bounds the real time; if it disagrees with the buffer-block
+    # median by >1.5x (beyond the ~15 ms d2h round-trip), the forced number
+    # is the honest one.
+    forced_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sol2 = solve_batch(mcp, th, x0=x0, options=opts)
+        float(jnp.sum(sol2.x))
+        forced_times.append(time.perf_counter() - t0)
+    forced = min(forced_times)
+    # The real under-wait artifact is ~1000x (diag_qp_timing.py); 3x + 50 ms
+    # stays far above host noise (a single-run 1.5x trigger false-positived
+    # on CPU) while catching any genuine under-wait by orders of magnitude.
+    suspect = forced > 3.0 * med + 0.05
+    if suspect:
+        med = forced
+    # Device rate: the same solve repeated over fresh theta batches inside
+    # ONE fori_loop dispatch (harness._ingraph_repeat_solver) — amortizes
+    # the ~14-30 ms tunnel dispatch that dominates small-batch per-dispatch
+    # numbers (N=4 b=8: 43 ms/batch of which most is dispatch latency).
+    ingraph_t = float("nan")
+    if args.ingraph:
+        from mcp_tpu.bench.harness import _ingraph_repeat_solver
+
+        R = 3
+        stack = jnp.stack([
+            thetas + 1e-4 * jax.random.normal(
+                jax.random.PRNGKey(200 + r), thetas.shape, thetas.dtype)
+            for r in range(R)
+        ])
+        B0 = thetas.shape[0]
+        n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+        xi = x0 if x0 is not None else jnp.zeros((B0, n), thetas.dtype)
+        fn = _ingraph_repeat_solver(mcp, opts, R)
+        yi = jnp.ones((B0, m), thetas.dtype)
+        si = jnp.ones((B0, m), thetas.dtype)
+        fn(stack, xi, yi, si).block_until_ready()
+        t0 = time.perf_counter()
+        fn(stack, xi, yi, si).block_until_ready()
+        ingraph_t = (time.perf_counter() - t0) / R
+    stats = batch_statistics(sol)
+    B = thetas.shape[0]
+    extra = " FORCED-TIMING (buffer-block under-waited)" if suspect else ""
+    if args.polish:
+        from mcp_tpu.bench.harness import true_kkt_errors
+
+        # sol is from the LAST repeat, which solved the perturbed th —
+        # evaluate the residual at that same th, not the base thetas.
+        kkts = np.asarray(true_kkt_errors(mcp, sol, th))
+        solved = np.asarray(sol.status) == 0
+        frac = float(np.mean(kkts <= args.tol))
+        kmax = float(np.max(kkts[solved])) if solved.any() else float("nan")
+        extra += f" true_kkt_max={kmax:.2e} frac_at_tol={frac:.3f}"
+    if ingraph_t == ingraph_t:
+        extra += (
+            f" device_rate={B / ingraph_t:.2f}/s"
+            f" (in-graph {ingraph_t*1e3:.1f} ms/batch)"
+        )
+    print(
+        f"  {tier:10s}: {B / med:9.2f} solves/s  "
+        f"({med*1e3:8.1f} ms/batch-{B})  success={stats['success_rate']:.2f} "
+        f"median_outer={stats['median_outer_iters']}" + extra
+    )
+
+
+if not args.skip_lane_change:
+    print(f"— lane-change horizon 10 (n=200, batch {args.batch}) —")
+    lcb = lc.generate_test_problem(horizon=10)
+    thetas = lc.generate_parameter_batch(
+        jax.random.PRNGKey(1), args.batch, lcb, dtype=jnp.float32
+    )
+    for tier in args.tiers:
+        bench(lcb.parametric_game.mcp, thetas, tier)
+
+N, T = args.players, args.horizon
+print(f"— masked game N={N} horizon {T} (batch {args.batch}) —")
+env = setup_road_environment(length=10.0)
+game = setup_trajectory_game(environment=env, N=N)
+runner = MaskedGameRunner.create(game, N=N, horizon=T)
+mcp = runner.parametric_game.mcp
+print(
+    f"  n={mcp.unconstrained_dimension} m={mcp.constrained_dimension} "
+    f"time_structure={'yes' if mcp.time_structure else 'NO'}"
+)
+key = jax.random.PRNGKey(0)
+ang = jnp.linspace(0.0, 2 * jnp.pi, N, endpoint=False)
+base = jnp.stack([3.0 * jnp.cos(ang), 3.0 * jnp.sin(ang)], axis=1)
+init = jnp.concatenate([base, jnp.zeros((N, 2))], 1)[None].repeat(args.batch, 0).astype(jnp.float32)
+init = init + 0.05 * jax.random.normal(key, init.shape, jnp.float32)
+goals = (-base)[None].repeat(args.batch, 0).astype(jnp.float32)
+masks = jnp.ones((args.batch, N), jnp.float32)
+thetas = runner.pack_thetas(
+    init, goals, jnp.broadcast_to(masks[:, None, :], (args.batch, N, N))
+)
+x0 = runner.cold_starts(init)
+for tier in args.tiers:
+    bench(mcp, thetas, tier, x0=x0)

@@ -1,0 +1,182 @@
+"""Pallas kernel tests (interpreter mode on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcp_tpu.kernels.linear_solve import (
+    gauss_solve,
+    pallas_gauss_solve,
+    pallas_qr_solve_fused,
+    pallas_wy_solve,
+)
+
+
+def random_systems(B, n, key=0, dtype=jnp.float32):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    A = jax.random.normal(k1, (B, n, n), dtype) + n * jnp.eye(n, dtype=dtype)[None]
+    b = jax.random.normal(k2, (B, n), dtype)
+    return A, b
+
+
+class TestPallasQRSolve:
+    def test_matches_xla_solve(self):
+        A, b = random_systems(8, 64)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        x = pallas_gauss_solve(A, b, batch_tile=4)
+        np.testing.assert_allclose(x, x_ref, atol=1e-4)
+
+    def test_padding_path(self):
+        A, b = random_systems(6, 32)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        x = pallas_gauss_solve(A, b, batch_tile=4)
+        np.testing.assert_allclose(x, x_ref, atol=1e-4)
+
+    def test_saddle_point_stability(self):
+        """Saddle systems with ~1e-4 diagonal rows (the IP Newton structure)
+        must not blow up — the reason the kernel is QR, not pivot-free LU."""
+        n_p, n_d = 24, 8
+        k = jax.random.PRNGKey(3)
+        Q = jax.random.normal(k, (4, n_p, n_p), jnp.float32)
+        Q = jnp.einsum("bij,bkj->bik", Q, Q) / n_p + jnp.eye(n_p, dtype=jnp.float32)[None]
+        J = jax.random.normal(jax.random.PRNGKey(4), (4, n_d, n_p), jnp.float32)
+        top = jnp.concatenate([Q, -jnp.transpose(J, (0, 2, 1))], axis=2)
+        bot = jnp.concatenate(
+            [J, 1e-4 * jnp.eye(n_d, dtype=jnp.float32)[None].repeat(4, 0)], axis=2
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.PRNGKey(5), (4, n_p + n_d), jnp.float32)
+        x = pallas_gauss_solve(A, b, batch_tile=4)
+        residual = jnp.einsum("bij,bj->bi", A, x) - b
+        assert float(jnp.max(jnp.abs(residual))) < 1e-3
+
+    def test_custom_vmap_rule(self):
+        """vmap(gauss_solve) must hit the batched kernel and agree with the
+        unbatched reference."""
+        A, b = random_systems(8, 16)
+        x_v = jax.vmap(gauss_solve)(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(x_v, x_ref, atol=1e-4)
+
+    def test_unbatched_call(self):
+        A, b = random_systems(1, 16)
+        x = gauss_solve(A[0], b[0])
+        np.testing.assert_allclose(
+            x, jnp.linalg.solve(A[0], b[0][..., None])[..., 0], atol=1e-4
+        )
+
+    def test_wy_matches_xla_solve(self):
+        """Blocked-panel WY kernel agrees with XLA across panel widths and
+        n not divisible by the panel (identity-padding path)."""
+        for n, nb in [(64, 8), (37, 8), (48, 16)]:
+            A, b = random_systems(8, n)
+            x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+            x = pallas_wy_solve(A, b, batch_tile=4, panel=nb)
+            np.testing.assert_allclose(x, x_ref, atol=1e-4)
+
+    def test_fused_aug_matches_xla_solve(self):
+        """Augmented in-place QR kernel agrees with XLA, including the
+        batch-padding path."""
+        for B, n in [(8, 64), (6, 32)]:
+            A, b = random_systems(B, n)
+            x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+            x = pallas_qr_solve_fused(A, b, batch_tile=4)
+            np.testing.assert_allclose(x, x_ref, atol=1e-4)
+
+    def test_fused_aug_saddle_point_stability(self):
+        n_p, n_d = 24, 8
+        k = jax.random.PRNGKey(3)
+        Q = jax.random.normal(k, (4, n_p, n_p), jnp.float32)
+        Q = jnp.einsum("bij,bkj->bik", Q, Q) / n_p + jnp.eye(n_p, dtype=jnp.float32)[None]
+        J = jax.random.normal(jax.random.PRNGKey(4), (4, n_d, n_p), jnp.float32)
+        top = jnp.concatenate([Q, -jnp.transpose(J, (0, 2, 1))], axis=2)
+        bot = jnp.concatenate(
+            [J, 1e-4 * jnp.eye(n_d, dtype=jnp.float32)[None].repeat(4, 0)], axis=2
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.PRNGKey(5), (4, n_p + n_d), jnp.float32)
+        x = pallas_qr_solve_fused(A, b)
+        residual = jnp.einsum("bij,bj->bi", A, x) - b
+        assert float(jnp.max(jnp.abs(residual))) < 1e-3
+
+    def test_wy_saddle_point_stability(self):
+        n_p, n_d = 24, 8
+        k = jax.random.PRNGKey(3)
+        Q = jax.random.normal(k, (4, n_p, n_p), jnp.float32)
+        Q = jnp.einsum("bij,bkj->bik", Q, Q) / n_p + jnp.eye(n_p, dtype=jnp.float32)[None]
+        J = jax.random.normal(jax.random.PRNGKey(4), (4, n_d, n_p), jnp.float32)
+        top = jnp.concatenate([Q, -jnp.transpose(J, (0, 2, 1))], axis=2)
+        bot = jnp.concatenate(
+            [J, 1e-4 * jnp.eye(n_d, dtype=jnp.float32)[None].repeat(4, 0)], axis=2
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.PRNGKey(5), (4, n_p + n_d), jnp.float32)
+        x = pallas_wy_solve(A, b, batch_tile=4, panel=8)
+        residual = jnp.einsum("bij,bj->bi", A, x) - b
+        assert float(jnp.max(jnp.abs(residual))) < 1e-3
+
+    def test_solver_tier_parity(self):
+        """Full IP solve via schur_pallas matches the schur tier."""
+        from mcp_tpu import PrimalDualMCP
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
+
+        M = jnp.array([[2.0, 1.0], [1.0, 2.0]], jnp.float32)
+        mcp = PrimalDualMCP.from_gh(
+            lambda x, y, t: M @ x - t - y,
+            lambda x, y, t: x - 1.0,
+            unconstrained_dimension=2,
+            constrained_dimension=2,
+            parameter_dimension=2,
+        )
+        thetas = jax.random.normal(jax.random.PRNGKey(0), (4, 2), jnp.float32)
+        s1 = solve_batch(mcp, thetas, options=SolverOptions(linear_solver="schur"))
+        s2 = solve_batch(
+            mcp, thetas, options=SolverOptions(linear_solver="schur_pallas")
+        )
+        np.testing.assert_array_equal(s1.outer_iters, s2.outer_iters)
+        np.testing.assert_allclose(s1.x, s2.x, atol=1e-5)
+
+
+class TestLaneMajorQRSolve:
+    """pallas_qr_lanes_solve: batch-on-lanes QR (round 4 — the QP n=100
+    schur solve was the dominant phase at ~0.06 Tflop/s in the batch-major
+    layout; benchmarks_round4.json)."""
+
+    def test_matches_xla_solve_padded_dims(self):
+        from mcp_tpu.kernels.linear_solve import pallas_qr_lanes_solve
+
+        # n=10 pads to 16; B=5 pads to 128 with identity systems.
+        A, b = random_systems(5, 10, key=3)
+        x = pallas_qr_lanes_solve(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
+
+    def test_saddle_point_stability(self):
+        from mcp_tpu.kernels.linear_solve import pallas_qr_lanes_solve
+
+        # IP-like saddle system with ~tol diagonal rows (the case that
+        # breaks pivot-free LU; QR must stay stable).
+        n = 12
+        key = jax.random.PRNGKey(0)
+        M = jax.random.normal(key, (4, n // 2, n // 2))
+        M = jnp.einsum("bij,bkj->bik", M, M) + jnp.eye(n // 2)[None]
+        C = jax.random.normal(jax.random.fold_in(key, 1), (4, n // 2, n // 2))
+        top = jnp.concatenate([M, C], axis=2)
+        bot = jnp.concatenate(
+            [jnp.transpose(C, (0, 2, 1)), 1e-4 * jnp.eye(n // 2)[None].repeat(4, 0)],
+            axis=2,
+        )
+        A = jnp.concatenate([top, bot], axis=1)
+        b = jax.random.normal(jax.random.fold_in(key, 2), (4, n))
+        x = pallas_qr_lanes_solve(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=5e-3, atol=5e-4)
+
+    def test_vmap_dispatch_at_128(self):
+        """vmap(gauss_solve) at B >= 128 routes to the lane-major kernel and
+        agrees with the XLA solve."""
+        A, b = random_systems(128, 6, key=5)
+        x = jax.vmap(gauss_solve)(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
