@@ -14,7 +14,7 @@ run_job() {
   if [ -f "$LOGS/$name.done" ]; then return 0; fi
   for attempt in 1 2; do
     echo "=== $name attempt $attempt: $* ($(date -u +%H:%M:%S)) ===" >> "$LOGS/$name.log"
-    (cd "$dir" && PYTHONPATH="$dir" timeout "$tmo" "$@") >> "$LOGS/$name.log" 2>&1
+    (cd "$dir" && PYTHONPATH="$dir:${PYTHONPATH:-}" timeout "$tmo" "$@") >> "$LOGS/$name.log" 2>&1
     local rc=$?
     echo "=== exit $rc ($(date -u +%H:%M:%S)) ===" >> "$LOGS/$name.log"
     if [ $rc -eq 0 ]; then touch "$LOGS/$name.done"; return 0; fi
