@@ -521,22 +521,70 @@ def pallas_qr_lanes_solve(
     A: Array,
     b: Array,
     *,
+    lane_width: int | None = None,
     interpret: bool | None = None,
 ) -> Array:
     """Batch-on-lanes QR solve of A x = b. A: (B, n, n), b: (B, n).
 
-    B pads to a multiple of 128 with identity systems; n pads to a multiple
-    of 8 with decoupled identity rows. Measured motivation
+    B pads to a multiple of `lane_width` with identity systems; n pads to a
+    multiple of 8 with decoupled identity rows. Measured motivation
     (benchmarks_round4.json, QP n=100 B=256): the batch-major fused QR
     kernel runs at 8.9 ms/solve-batch (~0.06 Tflop/s) because each
     reflector's row work lives on Mosaic-padded sublanes; the lane-major
-    layout makes every pass dense.
+    layout makes every pass dense. `lane_width` defaults to 256 when the
+    batch fills it — the serial reflector chain then runs once per 256
+    systems instead of per 128.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     B, n, _ = A.shape
+    if lane_width is None:
+        lane_width = 256 if B >= 256 else 128
+    M, n8, Bp, G = _lanes_pack(A, b, lane_width)
+    out = _lanes_call(
+        _qr_lanes_kernel, M, n8, Bp, G, lane_width, A.dtype,
+        4 * Bp * n8 * n8 * n8, interpret,
+    )
+    return out[:B, :n]
+
+
+def _gj_lanes_kernel(m_ref, x_ref, *, n8: int):
+    """Lane-major Gauss-Jordan solve (no pivoting): one lane group.
+
+    Same column storage as `_qr_lanes_kernel`. One elimination step costs a
+    single big cross-sublane reduction (pivot-row extraction) + one dense
+    FMA — versus QR's extra norm/pivot reductions, sqrt, and the whole
+    back-substitution pass. Valid when no-pivot elimination is stable: the
+    QP suite's schur matrix M + tI + AᵀDA is SPD, where GJ is
+    backward-stable in practice; do NOT use on saddle/nonsymmetric game
+    systems (that is what the QR kernels are for — see the module
+    docstring's pivoting discussion).
+    """
+    M = m_ref[0]  # (n8+1, n8, LB)
+    dtype = M.dtype
+    LB = M.shape[-1]
+    eps = jnp.asarray(1e-30, dtype)
+    srow = lax.broadcasted_iota(jnp.int32, (n8, LB), 0)
+
+    for k in range(n8):  # static unroll
+        colk = M[k]  # (n8, LB)
+        pivm = (srow == k).astype(dtype)
+        p = jnp.sum(colk * pivm, axis=0, keepdims=True)  # (1, LB)
+        inv = 1.0 / jnp.where(jnp.abs(p) > eps, p, eps)
+        f = colk * inv  # multipliers (f[k] = 1)
+        rowk = jnp.sum(M * pivm[None], axis=1, keepdims=True)  # (n8+1, 1, LB)
+        fm = jnp.where(pivm > 0, jnp.zeros((), dtype), f)
+        M = M - fm[None] * rowk
+        M = jnp.where(pivm[None] > 0, rowk * inv, M)
+    x_ref[0] = M[n8]
+
+
+def _lanes_pack(A, b, LB):
+    """Shared host-side packing for the lane-major kernels: pad n to a
+    multiple of 8 (decoupled identity rows) and B to a multiple of LB
+    (identity systems); return column-storage M (G, n8+1, n8, LB)."""
+    B, n, _ = A.shape
     dtype = A.dtype
-    LB = 128
     n8 = -(-n // 8) * 8
     if n8 > n:
         p = n8 - n
@@ -554,21 +602,19 @@ def pallas_qr_lanes_solve(
         b = jnp.concatenate([b, jnp.zeros((pad, n8), dtype)])
     Bp = A.shape[0]
     G = Bp // LB
-
-    # Column storage with batch on lanes: M[g, j, i, l] = A[g·LB+l, i, j],
-    # M[g, n8, i, l] = b[g·LB+l, i].
     Acol = jnp.transpose(A.reshape(G, LB, n8, n8), (0, 3, 2, 1))
     rhs = jnp.transpose(b.reshape(G, LB, n8), (0, 2, 1))[:, None]
-    M = jnp.concatenate([Acol, rhs], axis=1)  # (G, n8+1, n8, LB)
+    return jnp.concatenate([Acol, rhs], axis=1), n8, Bp, G
 
-    kernel = functools.partial(_qr_lanes_kernel, n8=n8)
+
+def _lanes_call(kernel_fn, M, n8, Bp, G, LB, dtype, flops, interpret):
+    kernel = functools.partial(kernel_fn, n8=n8)
     x = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (1, n8 + 1, n8, LB),
-                lambda g: (g, 0, 0, 0),
+                (1, n8 + 1, n8, LB), lambda g: (g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -577,14 +623,57 @@ def pallas_qr_lanes_solve(
         ),
         out_shape=jax.ShapeDtypeStruct((G, n8, LB), dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * Bp * n8 * n8 * n8,
+            flops=flops,
             bytes_accessed=Bp * n8 * n8 * 4 + 2 * Bp * n8 * 4,
             transcendentals=Bp * n8,
         ),
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        else pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         interpret=interpret,
     )(M)
-    # (G, n8, LB) → (B, n)
-    return jnp.transpose(x, (0, 2, 1)).reshape(Bp, n8)[:B, :n]
+    return jnp.transpose(x, (0, 2, 1)).reshape(Bp, n8)
+
+
+def pallas_gj_lanes_solve(
+    A: Array,
+    b: Array,
+    *,
+    lane_width: int | None = None,
+    interpret: bool | None = None,
+) -> Array:
+    """Batch-on-lanes Gauss-Jordan solve (no pivoting — SPD systems only;
+    see `_gj_lanes_kernel`). `lane_width` defaults to 256 when the batch
+    fills it (halves the number of serial elimination chains vs 128)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    B, n, _ = A.shape
+    if lane_width is None:
+        lane_width = 256 if B >= 256 else 128
+    M, n8, Bp, G = _lanes_pack(A, b, lane_width)
+    out = _lanes_call(
+        _gj_lanes_kernel, M, n8, Bp, G, lane_width, A.dtype,
+        2 * Bp * n8 * n8 * n8, interpret,
+    )
+    return out[:B, :n]
+
+
+@jax.custom_batching.custom_vmap
+def gj_solve(A: Array, b: Array) -> Array:
+    """Single-system entry for the lane-major Gauss-Jordan kernel (SPD
+    systems only — see `_gj_lanes_kernel`), with a custom vmap rule so the
+    vmapped interior-point loop reaches the kernel as one whole batch."""
+    return pallas_gj_lanes_solve(A[None], b[None], lane_width=128)[0]
+
+
+@gj_solve.def_vmap
+def _gj_solve_vmap(axis_size, in_batched, A, b):
+    A_batched, b_batched = in_batched
+    if not A_batched:
+        A = jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+    if not b_batched:
+        b = jnp.broadcast_to(b[None], (axis_size,) + b.shape)
+    lead = A.shape[:-2]
+    n = A.shape[-1]
+    out = pallas_gj_lanes_solve(A.reshape(-1, n, n), b.reshape(-1, n))
+    return out.reshape(*lead, n), True

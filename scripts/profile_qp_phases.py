@@ -158,6 +158,18 @@ with jax.default_matmul_precision("highest"):
 
         return pallas_qr_lanes_solve(A, b)
 
+    def qr_lanes_128(A, b):
+        from mcp_tpu.kernels.linear_solve import pallas_qr_lanes_solve
+
+        return pallas_qr_lanes_solve(A, b, lane_width=128)
+
+    def gj_lanes(A, b):
+        # SPD-only Gauss-Jordan: 1 big reduction + 1 FMA per step, no
+        # backsub pass (valid: the QP schur matrix is SPD).
+        from mcp_tpu.kernels.linear_solve import pallas_gj_lanes_solve
+
+        return pallas_gj_lanes_solve(A, b)
+
     def wy(A, b):
         # Blocked-panel WY QR: trailing updates on the MXU; at n=100 the
         # panel structure may win where it lost at lane-change block sizes.
@@ -198,6 +210,10 @@ with jax.default_matmul_precision("highest"):
           8 * B * n * n * n)
     timed("solve: qr lanes", lambda: make_solver_phase(qr_lanes),
           4 * B * n * n * n)
+    timed("solve: qr lanes LB128", lambda: make_solver_phase(qr_lanes_128),
+          4 * B * n * n * n)
+    timed("solve: gj lanes", lambda: make_solver_phase(gj_lanes),
+          2 * B * n * n * n)
     timed(
         "solve: xla lu",
         lambda: make_solver_phase(

@@ -180,3 +180,62 @@ class TestLaneMajorQRSolve:
         x = jax.vmap(gauss_solve)(A, b)
         x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
+
+
+class TestLaneMajorGJSolve:
+    """pallas_gj_lanes_solve / gj_solve: no-pivot Gauss-Jordan for SPD
+    systems (the QP schur matrix) — round-4 round-5-lead kernel."""
+
+    def _spd_systems(self, B, n, key=0):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+        P = jax.random.normal(k1, (B, n, n), jnp.float32)
+        A = jnp.einsum("bij,bkj->bik", P, P) + n * jnp.eye(n, dtype=jnp.float32)[None]
+        b = jax.random.normal(k2, (B, n), jnp.float32)
+        return A, b
+
+    def test_matches_xla_solve(self):
+        from mcp_tpu.kernels.linear_solve import pallas_gj_lanes_solve
+
+        A, b = self._spd_systems(5, 10)
+        x = pallas_gj_lanes_solve(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
+
+    def test_vmap_rule(self):
+        from mcp_tpu.kernels.linear_solve import gj_solve
+
+        A, b = self._spd_systems(4, 6, key=2)
+        x = jax.vmap(gj_solve)(A, b)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4)
+
+    def test_wide_lane_width(self):
+        from mcp_tpu.kernels.linear_solve import (
+            pallas_gj_lanes_solve,
+            pallas_qr_lanes_solve,
+        )
+
+        # lane_width=256 path (B=256): both lane kernels agree with XLA.
+        A, b = self._spd_systems(256, 6, key=4)
+        x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
+        for f in (pallas_gj_lanes_solve, pallas_qr_lanes_solve):
+            x = f(A, b)
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4
+            )
+
+    def test_schur_gj_tier_solves_qp(self):
+        import mcp_tpu
+        from mcp_tpu.bench import qp
+
+        problem = qp.generate_test_problem(num_primals=8, num_inequalities=6)
+        theta = qp.generate_random_parameter(
+            jax.random.PRNGKey(3), num_primals=8, num_inequalities=6,
+            sparsity_rate=0.0, dtype=jnp.float64,
+        )
+        sol = mcp_tpu.solve(
+            problem.mcp, theta, tol=1e-6, linear_solver="schur_pallas_gj",
+            algorithm="mehrotra", polish=True,
+        )
+        assert int(sol.status) == 0
+        assert float(sol.kkt_error) <= 1e-6
