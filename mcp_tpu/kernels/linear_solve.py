@@ -539,7 +539,10 @@ def pallas_qr_lanes_solve(
         interpret = jax.devices()[0].platform != "tpu"
     B, n, _ = A.shape
     if lane_width is None:
-        lane_width = 256 if B >= 256 else 128
+        # Measured on-chip (QP n=100 B=256): LB=256 is within 3% of LB=128
+        # — the serial chain is no longer the bound at this scale — so the
+        # default stays 128 (half the VMEM footprint).
+        lane_width = 128
     M, n8, Bp, G = _lanes_pack(A, b, lane_width)
     out = _lanes_call(
         _qr_lanes_kernel, M, n8, Bp, G, lane_width, A.dtype,
@@ -649,7 +652,7 @@ def pallas_gj_lanes_solve(
         interpret = jax.devices()[0].platform != "tpu"
     B, n, _ = A.shape
     if lane_width is None:
-        lane_width = 256 if B >= 256 else 128
+        lane_width = 128
     M, n8, Bp, G = _lanes_pack(A, b, lane_width)
     out = _lanes_call(
         _gj_lanes_kernel, M, n8, Bp, G, lane_width, A.dtype,
