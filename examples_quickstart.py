@@ -7,20 +7,11 @@ if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 else:
-    try:  # persistent compile cache + local probe backend: a cacheless TPU
-        # quickstart pays ~5 min of tunnel compiles PER PROGRAM every run
-        import os
+    try:  # a cacheless TPU quickstart pays ~5 min of tunnel compiles
+        # per program every run (utils/devices.configure_tpu_cache)
+        from mcp_tpu.utils.devices import configure_tpu_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        from mcp_tpu.utils.devices import enable_host_probe_backend
-
-        enable_host_probe_backend()
+        configure_tpu_cache()
     except Exception:
         pass
 print("backend:", jax.devices())

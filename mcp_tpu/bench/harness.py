@@ -391,12 +391,11 @@ def apply_ingraph_crosscheck(
     parseable certified number in the output tail (VERDICT r3 item 1)."""
     B = stats["batch_size"]
     median_t = stats["median_batch_time_s"]
-    sample = jnp.asarray(batch_for(1000))
     stack = jnp.stack([jnp.asarray(batch_for(1000 + r)) for r in range(repeats)])
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
-    x0 = jnp.zeros((B, n), sample.dtype)
-    y0 = jnp.ones((B, m), sample.dtype)
-    s0 = jnp.ones((B, m), sample.dtype)
+    x0 = jnp.zeros((B, n), stack.dtype)
+    y0 = jnp.ones((B, m), stack.dtype)
+    s0 = jnp.ones((B, m), stack.dtype)
     fn = _ingraph_repeat_solver(mcp, options, repeats)
     fn(stack, x0, y0, s0).block_until_ready()  # compile
     t0 = time.perf_counter()

@@ -531,9 +531,9 @@ def pallas_qr_lanes_solve(
     (benchmarks_round4.json, QP n=100 B=256): the batch-major fused QR
     kernel runs at 8.9 ms/solve-batch (~0.06 Tflop/s) because each
     reflector's row work lives on Mosaic-padded sublanes; the lane-major
-    layout makes every pass dense. `lane_width` defaults to 256 when the
-    batch fills it — the serial reflector chain then runs once per 256
-    systems instead of per 128.
+    layout makes every pass dense. `lane_width` defaults to 128 (LB=256
+    measured within 3% at QP scale while doubling the VMEM footprint —
+    benchmarks_round4.json qp_kernel_variant_ab; pass 256 to override).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -646,8 +646,8 @@ def pallas_gj_lanes_solve(
     interpret: bool | None = None,
 ) -> Array:
     """Batch-on-lanes Gauss-Jordan solve (no pivoting — SPD systems only;
-    see `_gj_lanes_kernel`). `lane_width` defaults to 256 when the batch
-    fills it (halves the number of serial elimination chains vs 128)."""
+    see `_gj_lanes_kernel`). `lane_width` defaults to 128 (256 measured
+    within 3% — benchmarks_round4.json qp_kernel_variant_ab)."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     B, n, _ = A.shape

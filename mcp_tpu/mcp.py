@@ -268,17 +268,22 @@ def verify_affine(
     structure isn't known analytically."""
     key = jax.random.PRNGKey(7) if key is None else key
     n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
-    g0, h0, Gx, Gy, Hx, Hy = mcp.gh_affine_data(theta)
-    ok = True
-    for i in range(2):
-        kx, ky, key = jax.random.split(key, 3)
-        x = jax.random.normal(kx, (n,), g0.dtype)
-        y = jax.random.normal(ky, (m,), g0.dtype)
-        g, h = mcp.gh(x, y, theta)
-        ok = ok and bool(
-            jnp.max(jnp.abs(g - (g0 + Gx @ x + Gy @ y)), initial=0.0) <= atol
-        )
-        ok = ok and bool(
-            jnp.max(jnp.abs(h - (h0 + Hx @ x + Hy @ y)), initial=0.0) <= atol
-        )
+    # Accuracy METRIC: must run at highest matmul precision — on TPU the
+    # bf16 default would put ~1e-2 of measurement noise into the affine
+    # reconstruction and falsely reject genuinely affine problems
+    # (same trap as harness.true_kkt_errors).
+    with jax.default_matmul_precision("highest"):
+        g0, h0, Gx, Gy, Hx, Hy = mcp.gh_affine_data(theta)
+        ok = True
+        for i in range(2):
+            kx, ky, key = jax.random.split(key, 3)
+            x = jax.random.normal(kx, (n,), g0.dtype)
+            y = jax.random.normal(ky, (m,), g0.dtype)
+            g, h = mcp.gh(x, y, theta)
+            ok = ok and bool(
+                jnp.max(jnp.abs(g - (g0 + Gx @ x + Gy @ y)), initial=0.0) <= atol
+            )
+            ok = ok and bool(
+                jnp.max(jnp.abs(h - (h0 + Hx @ x + Hy @ y)), initial=0.0) <= atol
+            )
     return ok

@@ -43,6 +43,30 @@ def enable_host_probe_backend() -> bool:
         return False
 
 
+def configure_tpu_cache(min_compile_secs: float = 1.0) -> bool:
+    """One-stop TPU entry-point setup: point jax's persistent compilation
+    cache at ``<repo-root>/.jax_cache_tpu`` (the 5-20 min tunnel compiles
+    amortize across runs) and register the CPU probe backend. Replaces the
+    copy-pasted try/except block every bench/script used to carry — one
+    missed copy silently recompiled every program through the tunnel.
+    Returns whether the CPU probe backend is available."""
+    import os
+
+    try:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(root, ".jax_cache_tpu")
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception:
+        pass
+    return enable_host_probe_backend()
+
+
 def cpu_probe_device():
     """The CPU device probes should run on, or None if unavailable
     (e.g. platform list pinned to the accelerator only)."""

@@ -42,20 +42,9 @@ args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 else:
-    try:  # persistent compile cache shared with bench.py / tpu_smoke.py
-        import os
+    from mcp_tpu.utils.devices import configure_tpu_cache
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                         ".jax_cache_tpu"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    from mcp_tpu.utils.devices import enable_host_probe_backend
-
-    enable_host_probe_backend()  # builder probes compile locally, not via tunnel
+    configure_tpu_cache()  # shared cache + CPU-probe setup (utils/devices.py)
 
 from mcp_tpu.bench import lane_change as lc
 from mcp_tpu.parallel.batch import batch_statistics, solve_batch

@@ -68,16 +68,9 @@ def main():
     import jax
 
     if args.chip:
-        try:  # persistent compile cache (same dir as bench.py; TPU runs only
-            # — the CPU AOT cache complains across machine-feature changes)
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                             ".jax_cache_tpu"),
-            )
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+        from mcp_tpu.utils.devices import configure_tpu_cache
+
+        configure_tpu_cache()  # shared cache + CPU-probe setup
     import jax.numpy as jnp
 
     from mcp_tpu.bench import lane_change as lc

@@ -42,17 +42,9 @@ import jax
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 else:
-    try:  # persistent compile cache: amortizes the 5-20 min tunnel compiles
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    from mcp_tpu.utils.devices import enable_host_probe_backend
+    from mcp_tpu.utils.devices import configure_tpu_cache
 
-    enable_host_probe_backend()  # builder probes compile locally, not via tunnel
+    configure_tpu_cache()  # shared cache + CPU-probe setup (utils/devices.py)
 
 import jax.numpy as jnp
 import numpy as np

@@ -215,11 +215,11 @@ class TestLaneMajorGJSolve:
             pallas_qr_lanes_solve,
         )
 
-        # lane_width=256 path (B=256): both lane kernels agree with XLA.
+        # Explicit lane_width=256 path: both lane kernels agree with XLA.
         A, b = self._spd_systems(256, 6, key=4)
         x_ref = jnp.linalg.solve(A, b[..., None])[..., 0]
         for f in (pallas_gj_lanes_solve, pallas_qr_lanes_solve):
-            x = f(A, b)
+            x = f(A, b, lane_width=256)
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(x_ref), rtol=2e-3, atol=2e-4
             )
