@@ -213,7 +213,13 @@ def benchmark_warm_sweep(
     # the ratio always flags and the larger time ships.
     consistent = timing_consistency(host_step_t, ingraph_step_t, ratio=2.5)
     if both:
-        step_t = host_step_t if consistent else max(host_step_t, ingraph_step_t)
+        # Host below in-graph has no legitimate cause (ADVICE r4): the
+        # larger time ships whenever host < in-graph, not only past ratio.
+        step_t = (
+            host_step_t
+            if consistent and host_step_t >= ingraph_step_t
+            else max(host_step_t, ingraph_step_t)
+        )
     else:
         step_t = host_step_t if host_step_t == host_step_t else ingraph_step_t
     return {
@@ -422,8 +428,11 @@ def apply_ingraph_crosscheck(
             "timing_consistent": bool(consistent),
         }
     )
-    if not consistent:
-        # Conservative headline: never let a caching artifact inflate
-        # the reported rate in either direction.
+    if not consistent or median_t < ingraph_t:
+        # Conservative headline: never let a caching artifact inflate the
+        # reported rate. A host time BELOW the in-graph time has no
+        # legitimate cause even within the 2x window (partial buffer
+        # under-wait, ADVICE r4) — the larger time ships whenever
+        # host < in-graph, not only past the ratio.
         stats["solves_per_sec"] = B / max(median_t, ingraph_t)
     return stats

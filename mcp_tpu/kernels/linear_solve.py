@@ -388,6 +388,21 @@ def pallas_wy_solve(
     )(A, b)
 
 
+def _lanes_route_ok(
+    n: int, dtype, *, lane_width: int = 128,
+    vmem_budget_bytes: int = 96 * 2**20,
+) -> bool:
+    """Route guard for the lane-major kernels (ADVICE r4): the whole
+    (n8+1, n8, lane_width) group block must fit the scoped-VMEM budget
+    (×3 for the input copy + working values, matching the fused kernel's
+    accounting) and Mosaic is f32-only — beyond that the batch-tiled fused
+    kernel (which adapts its tile to a budget) is the safe path."""
+    if jnp.dtype(dtype).itemsize != 4:
+        return False
+    n8 = -(-n // 8) * 8
+    return 3 * (n8 + 1) * n8 * lane_width * 4 <= vmem_budget_bytes
+
+
 @jax.custom_batching.custom_vmap
 def gauss_solve(A: Array, b: Array) -> Array:
     """Single-system entry point for the Pallas solver, with a custom vmap
@@ -411,11 +426,15 @@ def _gauss_solve_vmap(axis_size, in_batched, A, b):
     Bflat = 1
     for d in lead:
         Bflat *= d
-    if Bflat >= 128:
+    if Bflat >= 128 and _lanes_route_ok(n, A.dtype):
         # Lane-major kernel: batch on the 128-lane axis, every reflector
         # pass 100% dense (measured r4, QP n=100 B=256: 8.9 → see
         # benchmarks_round4.json; the batch-major kernels run the serial
-        # chain over Mosaic-padded row tiles at ~0.06 Tflop/s).
+        # chain over Mosaic-padded row tiles at ~0.06 Tflop/s). Guarded
+        # (ADVICE r4): the whole (n8+1, n8, 128) group block must fit the
+        # kernel's VMEM budget, and Mosaic kernels are f32-only — large-n
+        # or non-f32 batches fall back to the fused kernel, which adapts
+        # its batch tile against a budget.
         out = pallas_qr_lanes_solve(A.reshape(-1, n, n), b.reshape(-1, n))
         return out.reshape(*lead, n), True
     # Fused augmented kernel: one whole-batch grid step (measured 18-20%
@@ -610,8 +629,13 @@ def _lanes_pack(A, b, LB):
     return jnp.concatenate([Acol, rhs], axis=1), n8, Bp, G
 
 
-def _lanes_call(kernel_fn, M, n8, Bp, G, LB, dtype, flops, interpret):
+def _lanes_call(kernel_fn, M, n8, Bp, G, LB, dtype, flops, interpret,
+                transcendentals=None):
     kernel = functools.partial(kernel_fn, n8=n8)
+    # Cost hints only (scheduling): element size follows the dtype (f64
+    # interpret runs exist) and transcendentals default to one sqrt per
+    # reflector — the GJ kernel passes 0 (ADVICE r4).
+    esz = jnp.dtype(dtype).itemsize
     x = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -627,8 +651,10 @@ def _lanes_call(kernel_fn, M, n8, Bp, G, LB, dtype, flops, interpret):
         out_shape=jax.ShapeDtypeStruct((G, n8, LB), dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=Bp * n8 * n8 * 4 + 2 * Bp * n8 * 4,
-            transcendentals=Bp * n8,
+            bytes_accessed=Bp * n8 * n8 * esz + 2 * Bp * n8 * esz,
+            transcendentals=(
+                Bp * n8 if transcendentals is None else transcendentals
+            ),
         ),
         compiler_params=None
         if interpret
@@ -656,7 +682,7 @@ def pallas_gj_lanes_solve(
     M, n8, Bp, G = _lanes_pack(A, b, lane_width)
     out = _lanes_call(
         _gj_lanes_kernel, M, n8, Bp, G, lane_width, A.dtype,
-        2 * Bp * n8 * n8 * n8, interpret,
+        2 * Bp * n8 * n8 * n8, interpret, transcendentals=0,
     )
     return out[:B, :n]
 

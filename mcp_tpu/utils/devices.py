@@ -53,12 +53,25 @@ def configure_tpu_cache(min_compile_secs: float = 1.0) -> bool:
     import os
 
     try:
-        root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.join(root, ".jax_cache_tpu")
-        )
+        cache_dir = os.environ.get("MCPTPU_CACHE_DIR")
+        if not cache_dir:
+            # Three dirname() hops above the package land at the repo root
+            # only for an editable install; for a site-packages install
+            # (parent possibly read-only) fall back to a user-cache
+            # location instead of silently swallowing the failure
+            # (ADVICE r4).
+            root = os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            candidate = os.path.join(root, ".jax_cache_tpu")
+            if os.path.basename(root) == "site-packages" or not os.access(
+                root, os.W_OK
+            ):
+                candidate = os.path.join(
+                    os.path.expanduser("~"), ".cache", "mcp_tpu", "jax_cache"
+                )
+            cache_dir = candidate
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs
         )

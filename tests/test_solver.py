@@ -408,3 +408,55 @@ class TestAutoTighteningRate:
         bench = lc.generate_test_problem(horizon=10)
         # headline block size 20 < 64 -> fast anneal
         assert auto_tightening_rate(bench.parametric_game.mcp) == 0.02
+
+
+class TestLoosenedRetry:
+    """In-graph gated loosened retry for failed lanes (SolverOptions.retry —
+    the in-graph analog of the reference's failure loosening,
+    src/solver.jl:111-113)."""
+
+    def test_retry_rescues_stalled_annealing(self):
+        # tightening_rate=100 makes the per-outer factor 1-exp(-100·inner)
+        # ≈ 1: ϵ never anneals below tol, the primary solve runs to
+        # max_outer_iters and fails. The retry re-solves under the
+        # reference schedule and must rescue the lane.
+        from mcp_tpu.parallel.batch import solve_batch
+
+        mcp = make_gh_mcp()
+        thetas = jnp.stack([THETA, THETA + 0.1])
+        base = dict(tightening_rate=100.0, max_outer_iters=8, polish=True)
+        r0 = solve_batch(mcp, thetas, **base)
+        assert not np.any(np.asarray(r0.status) == SOLVED)
+        r1 = solve_batch(mcp, thetas, retry=1, retry_tightening_rate=0.1, **base)
+        assert np.all(np.asarray(r1.status) == SOLVED)
+        assert float(jnp.max(r1.kkt_error)) <= 1e-4
+        # Honest accounting: retried lanes pay primary + retry iterations.
+        assert np.all(np.asarray(r1.outer_iters) > np.asarray(r0.outer_iters))
+
+    def test_retry_noop_on_solved_lanes(self):
+        # When every lane already solves, retry must not disturb results.
+        from mcp_tpu.parallel.batch import solve_batch
+
+        mcp = make_gh_mcp()
+        thetas = jnp.stack([THETA, THETA + 0.1])
+        r0 = solve_batch(mcp, thetas, polish=True)
+        r1 = solve_batch(mcp, thetas, polish=True, retry=2)
+        assert np.all(np.asarray(r0.status) == SOLVED)
+        np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
+        np.testing.assert_array_equal(
+            np.asarray(r0.outer_iters), np.asarray(r1.outer_iters)
+        )
+
+    def test_retry_single_instance(self):
+        # Unbatched path: gate plumbing must work without vmap too.
+        sol = mcp_tpu.solve(
+            make_gh_mcp(), THETA, tightening_rate=100.0, max_outer_iters=8,
+            retry=1, polish=True,
+        )
+        check_solution(sol)
+
+    def test_retry_with_mehrotra_primary(self):
+        sol = mcp_tpu.solve(
+            make_gh_mcp(), THETA, algorithm="mehrotra", retry=1, polish=True
+        )
+        check_solution(sol)
