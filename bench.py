@@ -74,8 +74,19 @@ def main() -> None:
     # Streamed serving path: solve K batches inside ONE lax.scan dispatch
     # (parallel.solve_batches_streamed) — amortizes the ~14 ms tunnel
     # dispatch that separates the per-dispatch host rate from the device
-    # rate. 0 = off (the default per-dispatch protocol).
-    parser.add_argument("--stream", type=int, default=0, metavar="K")
+    # rate. DEFAULT for the lane-change driver metric since round 5
+    # (VERDICT r4 item 2: the per-dispatch certified number lost ~45% of
+    # its wall time to tunnel-dispatch slack; the streamed protocol IS the
+    # dispatch-lean serving path, so the certified number now contains the
+    # device rate). 0 = per-dispatch protocol; default: 8 for lane_change,
+    # 0 for the other suites.
+    parser.add_argument("--stream", type=int, default=None, metavar="K")
+    # In-graph loosened retries for failed lanes (SolverOptions.retry):
+    # instance-hard draws that run to the iteration cap re-solve under the
+    # reference annealing schedule inside the same dispatch — the
+    # containment that takes the streamed protocol to success 1.0
+    # (VERDICT r4 item 4). Default: 1 for lane_change, 0 elsewhere.
+    parser.add_argument("--retry", type=int, default=None)
     parser.add_argument("--tol", type=float, default=1e-4)
     # f64 solves (reference QP protocol runs tol 1e-6, benchmark/path.jl:8;
     # f32 floors at ~6e-6 true residual). TPUs emulate f64 — pair with
@@ -121,6 +132,10 @@ def main() -> None:
     # record had NO number.
     parser.add_argument("--budget-seconds", type=float, default=420.0)
     args = parser.parse_args()
+    if args.stream is None:
+        args.stream = 8 if args.suite == "lane_change" else 0
+    if args.retry is None:
+        args.retry = 1 if args.suite == "lane_change" else 0
     if args.stream > 0 and args.repeats < 1:
         parser.error("--stream requires --repeats >= 1")
 
@@ -186,19 +201,24 @@ def main() -> None:
         )(0)
         metric_name = "qp_mcp_solves_per_sec"
         if args.tier.startswith("tridiag"):
-            # Measured on-chip (round 3, conservative in-graph timing):
-            # schur_pallas 235.7/s success 1.0 frac 1.0 vs schur 168.3/s
-            # success 0.969 — the fused QR kernel is both faster AND fully
-            # certifies, so it is the QP default.
+            # Round-5 QP default: the static-slice no-pivot Gauss-Jordan
+            # kernel (zero cross-sublane reductions per elimination step vs
+            # QR's ~28 µs/reflector op overhead, logs/tpu_queue_r4k) with
+            # the in-graph retry falling back to the stable QR tier for
+            # the rare ill-conditioned lanes GJ cannot certify
+            # (VERDICT r4 item 3).
             print(
                 f"note: --tier {args.tier} has no QP time structure; "
-                "running the exact 'schur_pallas' tier instead",
+                "running the exact 'schur_pallas_gj' tier instead "
+                "(QR-tier in-graph retry for uncertified lanes)",
                 file=sys.stderr,
             )
-            args.tier = "schur_pallas"
+            args.tier = "schur_pallas_gj"
+            if args.retry == 0:
+                args.retry = 1
         if (
             args.x64
-            and args.tier in ("schur_pallas", "schur_pallas_gj")
+            and args.tier.startswith("schur_pallas")
             and not args.cpu
         ):
             # Mosaic has no f64 path; the f64 reference-protocol row runs
@@ -236,7 +256,11 @@ def main() -> None:
         algorithm=args.algorithm,
         polish=args.polish,
         refinement_steps=args.refinement_steps,
+        retry=args.retry,
     )
+    if args.suite == "qp" and args.tier.startswith("schur_pallas_gj"):
+        # The no-pivot GJ tiers retry on the unconditionally-stable QR tier.
+        option_kwargs["retry_linear_solver"] = "schur_pallas"
     if args.fused_linesearch != "default":
         option_kwargs["fused_linesearch"] = args.fused_linesearch == "on"
     if args.tightening_rate == "auto":
@@ -281,6 +305,7 @@ def main() -> None:
             "timing_consistent",
             "ingraph_skipped",
             "stream_depth",
+            "retry",
             "stream_failures_reproduce_standalone",
         ):
             if k in stats:
@@ -389,6 +414,7 @@ def main() -> None:
             {
                 "batch_size": batch,
                 "stream_depth": args.stream,
+                "retry": args.retry,
                 "best_batch_time_s": float(min(times)) / args.stream,
                 "median_batch_time_s": median_t / args.stream,
                 "solves_per_sec": args.stream * batch / median_t,
@@ -398,6 +424,41 @@ def main() -> None:
             }
         )
         metric_name += "_streamed"
+        # Two-stage emission (same contract as the per-dispatch branch): the
+        # certified host-timed line prints now; the independent in-graph
+        # fori-loop cross-check (a second large compile) follows if budget
+        # remains and the final line carries the verdict. The streamed scan
+        # is itself dispatch-amortized, so host-vs-in-graph agreement here
+        # checks the VALUE-forcing against an independently-structured
+        # program rather than dispatch slack.
+        _phase("streamed repeats + true-KKT done; emitting certified line")
+        print(json.dumps(make_out(stats, metric_name)), flush=True)
+        elapsed = time.monotonic() - _T0
+        if elapsed <= 0.6 * args.budget_seconds:
+            _phase("in-graph cross-check (second large compile)")
+            xstats = {
+                "batch_size": batch,
+                "median_batch_time_s": median_t / args.stream,
+            }
+            harness.apply_ingraph_crosscheck(
+                mcp, xstats, theta_sampler, options=options, repeats=3
+            )
+            stats["ingraph_batch_time_s"] = xstats["ingraph_batch_time_s"]
+            stats["timing_consistent"] = xstats["timing_consistent"]
+            per_batch = max(
+                median_t / args.stream, xstats["ingraph_batch_time_s"]
+            )
+            if median_t / args.stream < xstats["ingraph_batch_time_s"] or (
+                not xstats["timing_consistent"]
+            ):
+                # Conservative headline (harness policy): a streamed time
+                # below the independent in-graph per-batch time has no
+                # legitimate cause — ship the larger.
+                stats["solves_per_sec"] = batch / per_batch
+        else:
+            stats["ingraph_skipped"] = (
+                f"budget: {elapsed:.0f}s of {args.budget_seconds:.0f}s elapsed"
+            )
     else:
         # Two-stage emission (VERDICT r3 item 1): the certified host-timed
         # JSON line prints as soon as the repeat loop + true-KKT eval

@@ -147,6 +147,28 @@ def newton_step_schur_pallas_gj(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
     return _schur_recover(dx, Hx, b2, w, d, s, rC)
 
 
+def newton_step_schur_pallas_gjr(Gx, Gy, Hx, Hy, y, s, rG, rH, rC, reg):
+    """EXPERIMENTAL: schur-condensed step via the lane-major Gauss-Jordan
+    solve+INVERSE kernel plus one refinement matvec pair against the true
+    schur matrix (kernels/linear_solve.py `_gji_lanes_kernel`).
+
+    Measured negative result (round 5): an explicit-inverse matvec is NOT
+    backward-stable — its Newton-system residual floors at ~cond(A)·ε·‖b‖
+    (Higham ch. 14), so near IP convergence (w → reg, cond ≈ 1/reg) the
+    feasibility residual stalls above tol and Mehrotra's factored path
+    fails lanes that plain per-call GJ elimination solves. This direct
+    (annealed-IP) path starts from the kernel's ELIMINATION solve and only
+    refines with A⁻¹, so it certifies; the factored variant is kept for
+    completeness but the SHIPPED QP tier is `schur_pallas_gj` + the
+    QR-tier in-graph retry (see bench.py). SPD schur systems only."""
+    from .kernels.linear_solve import gji_solve
+
+    A, b, b2, w, d = _schur_system(Gx, Gy, Hx, y, s, rG, rH, rC, reg)
+    dx0, Ainv = gji_solve(A, b)
+    dx = dx0 + Ainv @ (b - A @ dx0)
+    return _schur_recover(dx, Hx, b2, w, d, s, rC)
+
+
 def _gmres_inner(A, b, *, tol, restart, maxiter, preconditioner):
     """Configurable GMRES on the condensed system, with an optional Jacobi
     (diagonal) right preconditioner — the IP Schur matrix's diagonal grows
@@ -258,7 +280,10 @@ def factored_newton_solver(tier: str):
 
             return solve_f
 
-    elif tier in ("schur", "schur_pallas", "schur_pallas_gj", "gmres"):
+    elif tier in (
+        "schur", "schur_pallas", "schur_pallas_gj", "schur_pallas_gjr",
+        "gmres",
+    ):
 
         def make(Gx, Gy, Hx, Hy, y, s, reg, gmres_options=None):
             n = Gx.shape[0]
@@ -277,6 +302,19 @@ def factored_newton_solver(tier: str):
                 from .kernels.linear_solve import gj_solve
 
                 inner = lambda b: gj_solve(A, b)
+            elif tier == "schur_pallas_gjr":
+                # Factor-once/solve-many is where the explicit inverse
+                # shines: Mehrotra's predictor + corrector (+ refinement)
+                # solves all reuse ONE GJ elimination; each solve is a
+                # batched matvec + one refinement matvec pair.
+                from .kernels.linear_solve import gji_solve
+
+                _, Ainv = gji_solve(A, jnp.zeros_like(A[..., 0]))
+
+                def inner(b):
+                    x0 = Ainv @ b
+                    return x0 + Ainv @ (b - A @ x0)
+
             else:
                 kw = gmres_options or dict(
                     tol=1e-8, restart=50, maxiter=5, preconditioner="none"
@@ -310,6 +348,7 @@ NEWTON_STEPS = {
     "schur": newton_step_schur,
     "schur_pallas": newton_step_schur_pallas,
     "schur_pallas_gj": newton_step_schur_pallas_gj,
+    "schur_pallas_gjr": newton_step_schur_pallas_gjr,
     "gmres": newton_step_gmres,
 }
 

@@ -139,6 +139,11 @@ class SolverOptions:
     # evaluation, not a second solve. Solved-lane results are untouched.
     retry: int = 0
     retry_tightening_rate: float = 0.1
+    # Optional safer linear-solver tier for the retry rounds (None = keep
+    # the primary tier). Lets a fast-but-specialized primary tier (e.g. the
+    # no-pivot GJ dense kernel) fall back to the unconditionally-stable QR
+    # tier on the rare ill-conditioned lanes it cannot certify.
+    retry_linear_solver: Optional[str] = None
 
 
 def auto_tightening_rate(mcp) -> float:
@@ -326,6 +331,7 @@ def _retry_failed(
         options,
         algorithm="ip",
         tightening_rate=options.retry_tightening_rate,
+        linear_solver=options.retry_linear_solver or options.linear_solver,
         retry=0,
     )
     x0 = jnp.zeros_like(res.x)

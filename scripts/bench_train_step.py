@@ -46,57 +46,23 @@ else:
 import jax.numpy as jnp
 import numpy as np
 
-from mcp_tpu.selection.games import setup_road_environment, setup_trajectory_game
-from mcp_tpu.selection.model import init_mlp, input_size
-from mcp_tpu.selection.runner import MaskedGameRunner
-from mcp_tpu.selection.train import TrainConfig, make_train_step
-from mcp_tpu.solver import SolverOptions, auto_tightening_rate
+from mcp_tpu.bench.flagships import train_step_setup
 
 print("device:", jax.devices()[0], file=sys.stderr)
 t_start = time.monotonic()
 
 N, T, B = args.players, args.horizon, args.batch
-env = setup_road_environment(length=10.0)
-game = setup_trajectory_game(environment=env, N=N)
-import dataclasses
-
-runner = MaskedGameRunner.create(game, N=N, horizon=T)
-# PARTIAL-mask games (the MLP's sigmoid outputs sit near 0.5 early in
-# training) are harder than the all-ones flagships: at N=4 the 0.02 anneal
-# certifies only half the lanes while 0.05 certifies all (measured, CPU,
-# round 4) — so the training bench floors the auto rate at 0.05.
-rate = max(auto_tightening_rate(runner.parametric_game.mcp), 0.05)
-runner = dataclasses.replace(
-    runner,
-    options=SolverOptions(
-        linear_solver=args.tier,
-        sensitivity_solver="tridiag",
-        tightening_rate=rate,
-        polish=args.polish,
-    ),
-)
-print(f"N={N} T={T} B={B} tier={args.tier} rate={rate} polish={args.polish}",
+# Shared flagship builder (mcp_tpu/bench/flagships.py): the SAME setup
+# scripts/precompile.py stages, so a cache-primed machine re-uses the
+# compiled executables here (VERDICT r4 item 9).
+s = train_step_setup(B, N, T, tier=args.tier, polish=args.polish)
+print(f"N={N} T={T} B={B} tier={args.tier} rate={s.rate} polish={args.polish}",
       file=sys.stderr)
-
-config = TrainConfig(num_players=N, horizon=T, batch_size=B)
-train_step, _, sgd_update = make_train_step(runner, config)
-
-# Scenario batch: circle-crossing starts (the bench_tridiag flagship setup),
-# ground-truth targets = the all-ones-mask solve of the same scenarios (the
-# reference's targets are all-ones-game dumps, game_with_masks.jl:25-43).
-key = jax.random.PRNGKey(0)
-ang = jnp.linspace(0.0, 2 * jnp.pi, N, endpoint=False)
-base = jnp.stack([3.0 * jnp.cos(ang), 3.0 * jnp.sin(ang)], axis=1)
-init = jnp.concatenate([base, jnp.zeros((N, 2))], 1)[None].repeat(B, 0)
-init = (init + 0.05 * jax.random.normal(key, init.shape)).astype(jnp.float32)
-goals = (-base)[None].repeat(B, 0).astype(jnp.float32)
-gt = runner.solve(init, goals, jnp.ones((B, N), jnp.float32))
-trajectories = gt.trajectories  # (B, N, T, 4)
-gt_success = float(jnp.mean(gt.result.status == 0))
-print(f"ground-truth solve success: {gt_success:.3f}", file=sys.stderr)
-
-params = init_mlp(jax.random.PRNGKey(3), input_size(N, config.input_horizon,
-                                                    config.input_state_dim), N)
+print(f"ground-truth solve success: {s.gt_success:.3f}", file=sys.stderr)
+train_step, sgd_update, config = s.train_step, s.sgd_update, s.config
+params, trajectories, init, goals, key = (
+    s.params, s.trajectories, s.init, s.goals, s.key
+)
 
 # Warm-up/compile.
 loss, aux, grads = train_step(params, trajectories, init, goals)

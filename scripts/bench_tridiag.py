@@ -38,6 +38,14 @@ parser.add_argument("--hybrid-switch-tol", type=float, default=3e-2)
 # In-graph device-rate measurement (one fori_loop dispatch over 3 fresh
 # batches) in addition to the per-dispatch host timing.
 parser.add_argument("--ingraph", action="store_true")
+# Streamed serving row (VERDICT r4 item 5): also time K fresh θ-batches
+# solved back-to-back inside ONE lax.scan dispatch
+# (parallel.solve_batches_streamed) — the per-dispatch N=4 b8 number is
+# ~15 ms tunnel-dispatch-bound on ~25 ms compute; the streamed path is the
+# serving-rate answer. 0 = off.
+parser.add_argument("--stream", type=int, default=0, metavar="K")
+# In-graph loosened retries for failed lanes (SolverOptions.retry).
+parser.add_argument("--retry", type=int, default=0)
 args = parser.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -48,15 +56,12 @@ else:
 
 from mcp_tpu.bench import lane_change as lc
 from mcp_tpu.parallel.batch import batch_statistics, solve_batch
-from mcp_tpu.selection.games import setup_road_environment, setup_trajectory_game
-from mcp_tpu.selection.runner import MaskedGameRunner
 from mcp_tpu.solver import SolverOptions
 
 print("device:", jax.devices()[0])
 
 
-def bench(mcp, thetas, tier, x0=None, repeats=None):
-    repeats = repeats if repeats is not None else args.repeats
+def options_for(mcp, tier):
     from mcp_tpu.solver import auto_tightening_rate
 
     rate = (
@@ -64,7 +69,7 @@ def bench(mcp, thetas, tier, x0=None, repeats=None):
         if args.tightening_rate == "auto"
         else float(args.tightening_rate)
     )
-    opts = SolverOptions(
+    return SolverOptions(
         linear_solver=tier,
         polish=args.polish,
         tol=args.tol,
@@ -72,7 +77,66 @@ def bench(mcp, thetas, tier, x0=None, repeats=None):
         algorithm=args.algorithm,
         refinement_steps=args.refinement_steps,
         hybrid_switch_tol=args.hybrid_switch_tol,
+        retry=args.retry,
     )
+
+
+def bench_streamed(mcp, thetas, tier, x0=None):
+    """K θ-batches in ONE lax.scan dispatch (see --stream), value-forced
+    timing, certified true-KKT over all K·B instances."""
+    from mcp_tpu.bench.harness import true_kkt_errors
+    from mcp_tpu.parallel import solve_batches_streamed
+
+    opts = options_for(mcp, tier)
+    K, B = args.stream, thetas.shape[0]
+
+    def stack_for(i):
+        return jnp.stack(
+            [
+                thetas
+                + 1e-4
+                * jax.random.normal(
+                    jax.random.PRNGKey(300 + i * K + k), thetas.shape, thetas.dtype
+                )
+                for k in range(K)
+            ]
+        )
+
+    kw = dict(x0=x0) if x0 is not None else {}
+    result = solve_batches_streamed(mcp, stack_for(0), options=opts, **kw)
+    float(jnp.sum(result.x))  # compile + force
+    times = []
+    for r in range(1, args.repeats + 1):
+        st = stack_for(r)
+        jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        result = solve_batches_streamed(mcp, st, options=opts, **kw)
+        float(jnp.sum(result.x))  # force the VALUE (axon buffer under-wait)
+        times.append(time.perf_counter() - t0)
+        last = st
+    med = float(np.median(times))
+    flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), result)
+    stats = batch_statistics(flat)
+    extra = ""
+    if args.polish:
+        kkts = np.asarray(
+            true_kkt_errors(mcp, flat, last.reshape(-1, last.shape[-1]))
+        )
+        solved = np.asarray(flat.status) == 0
+        frac = float(np.mean(kkts <= args.tol))
+        kmax = float(np.max(kkts[solved])) if solved.any() else float("nan")
+        extra = f" true_kkt_max={kmax:.2e} frac_at_tol={frac:.3f}"
+    print(
+        f"  {tier:10s}: {K * B / med:9.2f} solves/s STREAMED-{K} "
+        f"({med / K * 1e3:8.1f} ms/batch-{B})  "
+        f"success={stats['success_rate']:.4f} "
+        f"median_outer={stats['median_outer_iters']}" + extra
+    )
+
+
+def bench(mcp, thetas, tier, x0=None, repeats=None):
+    repeats = repeats if repeats is not None else args.repeats
+    opts = options_for(mcp, tier)
     sol = solve_batch(mcp, thetas, x0=x0, options=opts)
     jax.block_until_ready(sol.x)
     times = []
@@ -169,24 +233,15 @@ if not args.skip_lane_change:
 
 N, T = args.players, args.horizon
 print(f"— masked game N={N} horizon {T} (batch {args.batch}) —")
-env = setup_road_environment(length=10.0)
-game = setup_trajectory_game(environment=env, N=N)
-runner = MaskedGameRunner.create(game, N=N, horizon=T)
-mcp = runner.parametric_game.mcp
+from mcp_tpu.bench.flagships import masked_game_setup
+
+s = masked_game_setup(args.batch, N, T)
+mcp, thetas, x0 = s.mcp, s.thetas, s.x0
 print(
     f"  n={mcp.unconstrained_dimension} m={mcp.constrained_dimension} "
     f"time_structure={'yes' if mcp.time_structure else 'NO'}"
 )
-key = jax.random.PRNGKey(0)
-ang = jnp.linspace(0.0, 2 * jnp.pi, N, endpoint=False)
-base = jnp.stack([3.0 * jnp.cos(ang), 3.0 * jnp.sin(ang)], axis=1)
-init = jnp.concatenate([base, jnp.zeros((N, 2))], 1)[None].repeat(args.batch, 0).astype(jnp.float32)
-init = init + 0.05 * jax.random.normal(key, init.shape, jnp.float32)
-goals = (-base)[None].repeat(args.batch, 0).astype(jnp.float32)
-masks = jnp.ones((args.batch, N), jnp.float32)
-thetas = runner.pack_thetas(
-    init, goals, jnp.broadcast_to(masks[:, None, :], (args.batch, N, N))
-)
-x0 = runner.cold_starts(init)
 for tier in args.tiers:
     bench(mcp, thetas, tier, x0=x0)
+    if args.stream > 0:
+        bench_streamed(mcp, thetas, tier, x0=x0)

@@ -37,6 +37,19 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--skip-ingraph", action="store_true")
+    # What to stage (VERDICT r4 item 9). "headline" = the bench.py default
+    # protocol (streamed scan + retry, the in-graph cross-check, true-KKT);
+    # "train" = the N=4 h30 b8 training step (445 s compile against a
+    # 0.214 s step — the worst amortization in the repo); "n4"/"n10" = the
+    # flagship masked-game solve programs (scripts/bench_tridiag.py
+    # shapes). Multiple suites run sequentially in THIS process (the TPU
+    # claim is exclusive — never run them as parallel processes).
+    parser.add_argument(
+        "--suites",
+        nargs="*",
+        default=["headline"],
+        choices=["headline", "train", "n4", "n10"],
+    )
     args = parser.parse_args()
 
     import jax
@@ -51,47 +64,99 @@ def main() -> None:
 
     phase(f"jax ready, device {jax.devices()[0]}")
 
-    from mcp_tpu.bench import harness
-    from mcp_tpu.bench import lane_change as lc
-    from mcp_tpu.parallel.batch import solve_batch
-    from mcp_tpu.solver import SolverOptions
+    if "headline" in args.suites:
+        from mcp_tpu.bench import harness
+        from mcp_tpu.bench import lane_change as lc
+        from mcp_tpu.parallel import solve_batches_streamed
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions
 
-    bench = lc.generate_test_problem(horizon=10)
-    mcp = bench.parametric_game.mcp
-    phase("problem built")
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        phase("headline problem built")
 
-    key = jax.random.PRNGKey(1)
-    thetas = lc.generate_parameter_batch(key, args.batch, bench)
-    options = SolverOptions(
-        tol=1e-4, linear_solver="tridiag_pallas", polish=True, tightening_rate=0.02
-    )
+        key = jax.random.PRNGKey(1)
+        thetas = lc.generate_parameter_batch(key, args.batch, bench)
+        # bench.py defaults since round 5: streamed scan (K=8) + retry=1.
+        options = SolverOptions(
+            tol=1e-4,
+            linear_solver="tridiag_pallas",
+            polish=True,
+            tightening_rate=0.02,
+            retry=1,
+        )
 
-    result = solve_batch(mcp, thetas, options=options)
-    float(jnp.sum(result.x))
-    phase("1/3: batched polished solve compiled + executed")
-
-    float(jnp.sum(harness.true_kkt_errors(mcp, result, thetas)))
-    phase("2/3: true-KKT evaluator compiled + executed")
-
-    if not args.skip_ingraph:
-        B = args.batch
-        n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
         stack = jnp.stack(
             [
-                lc.generate_parameter_batch(jax.random.fold_in(key, 1001 + r), B, bench)
-                for r in range(3)
+                lc.generate_parameter_batch(jax.random.fold_in(key, 1 + k),
+                                            args.batch, bench)
+                for k in range(8)
             ]
         )
-        fn = harness._ingraph_repeat_solver(mcp, options, 3)
-        fn(
-            stack,
-            jnp.zeros((B, n), thetas.dtype),
-            jnp.ones((B, m), thetas.dtype),
-            jnp.ones((B, m), thetas.dtype),
-        ).block_until_ready()
-        phase("3/3: in-graph cross-check compiled + executed")
+        result = solve_batches_streamed(mcp, stack, options=options)
+        float(jnp.sum(result.x))
+        phase("headline 1/4: streamed scan (K=8, retry) compiled + executed")
 
-    phase("done — bench.py should now hit the persistent cache")
+        flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), result)
+        float(
+            jnp.sum(
+                harness.true_kkt_errors(
+                    mcp, flat, stack.reshape(-1, stack.shape[-1])
+                )
+            )
+        )
+        phase("headline 2/4: true-KKT evaluator compiled + executed")
+
+        result = solve_batch(mcp, thetas, options=options)
+        float(jnp.sum(result.x))
+        phase("headline 3/4: per-dispatch polished solve compiled + executed")
+
+        if not args.skip_ingraph:
+            B = args.batch
+            n, m = mcp.unconstrained_dimension, mcp.constrained_dimension
+            fn = harness._ingraph_repeat_solver(mcp, options, 3)
+            fn(
+                stack[:3],
+                jnp.zeros((B, n), thetas.dtype),
+                jnp.ones((B, m), thetas.dtype),
+                jnp.ones((B, m), thetas.dtype),
+            ).block_until_ready()
+            phase("headline 4/4: in-graph cross-check compiled + executed")
+
+    if "n4" in args.suites or "n10" in args.suites:
+        from mcp_tpu.bench.flagships import masked_game_setup
+        from mcp_tpu.parallel.batch import solve_batch
+        from mcp_tpu.solver import SolverOptions, auto_tightening_rate
+
+        for players, batch, algo, refine in (
+            ("n4" in args.suites) * [(4, 8, "hybrid", 0)]
+            + ("n10" in args.suites) * [(10, 8, "ip", 1)]
+        ):
+            s = masked_game_setup(batch, players, 30)
+            opts = SolverOptions(
+                linear_solver="tridiag_auto",
+                polish=True,
+                tightening_rate=auto_tightening_rate(s.mcp),
+                algorithm=algo,
+                refinement_steps=refine,
+                hybrid_switch_tol=3e-2,
+            )
+            r = solve_batch(s.mcp, s.thetas, x0=s.x0, options=opts)
+            float(jnp.sum(r.x))
+            phase(f"N={players} flagship solve compiled + executed")
+
+    if "train" in args.suites:
+        from mcp_tpu.bench.flagships import train_step_setup
+
+        s = train_step_setup(8, 4, 30)
+        phase("train: problem + ground-truth solve staged")
+        loss, aux, grads = s.train_step(
+            s.params, s.trajectories, s.init, s.goals
+        )
+        float(loss)
+        phase("train: N=4 h30 b8 training step compiled + executed")
+
+    phase("done — the staged programs now hit the persistent cache")
 
 
 if __name__ == "__main__":
