@@ -4,6 +4,7 @@ n = 30·10·N... e.g. N=4 → n=1200) where the reference measured 5.04 s per
 receding-horizon step on CPU (BASELINE.md)."""
 
 import argparse
+import sys
 import time
 
 import jax
@@ -18,6 +19,7 @@ parser.add_argument("--horizon", type=int, default=30)
 parser.add_argument("--tiers", nargs="*", default=["schur", "tridiag"])
 parser.add_argument("--repeats", type=int, default=3)
 parser.add_argument("--skip-lane-change", action="store_true")
+parser.add_argument("--skip-masked", action="store_true")
 # Certified solves: terminal polish to true ||F||inf <= tol (VERDICT r2 #4's
 # flagship criterion is "certified at tol 1e-4 with success 1.0").
 parser.add_argument("--polish", action="store_true")
@@ -231,6 +233,8 @@ if not args.skip_lane_change:
     for tier in args.tiers:
         bench(lcb.parametric_game.mcp, thetas, tier)
 
+if args.skip_masked:
+    sys.exit(0)
 N, T = args.players, args.horizon
 print(f"— masked game N={N} horizon {T} (batch {args.batch}) —")
 from mcp_tpu.bench.flagships import masked_game_setup

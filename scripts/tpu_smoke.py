@@ -207,8 +207,99 @@ def solver_tiers():
 
 if not args.skip_kernels:
     kernel_parity()
+def dense_lanes():
+    """Dense lane-major kernel parity under real Mosaic at the QP shape
+    (round 5: the static-slice pivot extraction and the GJ-inverse kernel
+    are new lowerings the CPU suite only exercises in interpret mode)."""
+    from mcp_tpu.kernels.linear_solve import (
+        pallas_gj_lanes_solve,
+        pallas_gji_lanes_solve,
+        pallas_qr_lanes_solve,
+    )
+
+    key = jax.random.PRNGKey(5)
+    B, n = 256, 100
+    P = jax.random.normal(key, (B, n, n), jnp.float32) / np.sqrt(n)
+    A = jnp.einsum("bij,bkj->bik", P, P) + 2.0 * jnp.eye(n, dtype=jnp.float32)[None]
+    b = jax.random.normal(jax.random.fold_in(key, 1), (B, n), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        xr = jnp.linalg.solve(A, b[..., None])[..., 0]
+        xr_n = float(jnp.max(jnp.abs(xr)))
+        for fname, f in [
+            ("qr_lanes", pallas_qr_lanes_solve),
+            ("gj_lanes", pallas_gj_lanes_solve),
+        ]:
+            name = f"dense/{fname}"
+            t0 = time.perf_counter()
+            try:
+                x = jax.jit(f)(A, b)
+                rel = float(jnp.max(jnp.abs(x - xr))) / xr_n
+                record(name, rel <= 1e-3, rel_err=f"{rel:.2e}",
+                       seconds=round(time.perf_counter() - t0, 1))
+            except Exception as e:
+                record(name, False, error=f"{type(e).__name__}: {e}"[:300],
+                       seconds=round(time.perf_counter() - t0, 1))
+        name = "dense/gji_lanes"
+        t0 = time.perf_counter()
+        try:
+            x, Ainv = jax.jit(pallas_gji_lanes_solve)(A, b)
+            rel = float(jnp.max(jnp.abs(x - xr))) / xr_n
+            Ir = jnp.linalg.inv(A)
+            reli = float(jnp.max(jnp.abs(Ainv - Ir))) / float(
+                jnp.max(jnp.abs(Ir))
+            )
+            record(name, rel <= 1e-3 and reli <= 1e-3,
+                   rel_err=f"{rel:.2e}", inv_rel_err=f"{reli:.2e}",
+                   seconds=round(time.perf_counter() - t0, 1))
+        except Exception as e:
+            record(name, False, error=f"{type(e).__name__}: {e}"[:300],
+                   seconds=round(time.perf_counter() - t0, 1))
+
+
+def streamed_retry():
+    """The round-5 headline machinery: streamed scan + per-lane gated
+    loosened retry must compile under Mosaic and certify."""
+    name = "solve32x2/streamed_retry"
+    t0 = time.perf_counter()
+    try:
+        from mcp_tpu.parallel import solve_batches_streamed
+
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        key = jax.random.PRNGKey(1)
+        stack = jnp.stack(
+            [
+                lc.generate_parameter_batch(
+                    jax.random.fold_in(key, k), 32, bench, dtype=jnp.float32
+                )
+                for k in range(2)
+            ]
+        )
+        opts = SolverOptions(
+            linear_solver="tridiag_pallas", polish=True,
+            tightening_rate=0.02, retry=1,
+        )
+        sol = solve_batches_streamed(mcp, stack, options=opts)
+        flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), sol)
+        st = batch_statistics(flat)
+        tk = np.asarray(
+            true_kkt_errors(mcp, flat, stack.reshape(-1, stack.shape[-1]))
+        )
+        frac = float(np.mean(tk <= opts.tol))
+        record(name, st["success_rate"] == 1.0 and frac == 1.0,
+               success=st["success_rate"], frac_true_kkt_at_tol=frac,
+               seconds=round(time.perf_counter() - t0, 1))
+    except Exception as e:
+        record(name, False, error=f"{type(e).__name__}: {e}"[:300],
+               seconds=round(time.perf_counter() - t0, 1))
+
+
 if not args.skip_solver:
     solver_tiers()
+if not args.skip_kernels:
+    dense_lanes()
+if not args.skip_solver:
+    streamed_retry()
 
 ok = all(c["ok"] for c in results["checks"])
 results["all_ok"] = ok
