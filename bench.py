@@ -92,6 +92,13 @@ def main() -> None:
     # f32 floors at ~6e-6 true residual). TPUs emulate f64 — pair with
     # --cpu for the honest reference-protocol row.
     parser.add_argument("--x64", action="store_true")
+    # Compensated-f32 (double-word) protocol row: f32 Mosaic solve at
+    # tol 1e-5, then bench/qp_dw.py double-word refinement + doubled-
+    # precision certification at --tol (the reference PATH protocol's 1e-6,
+    # benchmark/path.jl:8) — f64-grade certification with no f64 on the
+    # chip (VERDICT r4 item 6). QP suite only.
+    parser.add_argument("--dw", action="store_true")
+    parser.add_argument("--dw-iters", type=int, default=8)
     # Tier ladder, all exact (linalg.py/DESIGN.md). "tridiag_pallas"
     # (affine-bands/colored-seed banded assembly + the fused whole-batch
     # Pallas block-Thomas, kernels/thomas_pallas.py; auto-selects the
@@ -313,6 +320,67 @@ def main() -> None:
                     round(stats[k], 4) if isinstance(stats[k], float) else stats[k]
                 )
         return out
+
+    if args.dw:
+        # Double-word tol-1e-6 QP protocol (see --dw). One pipeline =
+        # f32 certified solve (tol 1e-5) + dw refinement; timed end to end.
+        if args.suite != "qp":
+            raise SystemExit("--dw is a QP-suite protocol row")
+        import time as _time
+
+        import numpy as _np
+
+        from mcp_tpu.bench import qp_dw
+        from mcp_tpu.parallel.batch import solve_batch
+
+        dw_tol = args.tol if args.tol < 1e-5 else 1e-6
+        f32_options = SolverOptions(
+            **{**option_kwargs, "tol": 1e-5, "polish": True}
+        )
+        n_p, m_p = problem.num_primals, problem.num_inequalities
+
+        def run(th):
+            res = solve_batch(mcp, th, options=f32_options)
+            st, tk = qp_dw.polish_batch_dw(
+                th, res.x, res.y, res.s, n=n_p, m=m_p, tol=dw_tol,
+                iters=args.dw_iters,
+            )
+            return res, st, tk
+
+        res, st, tk = run(thetas)
+        float(jnp.sum(tk))  # compile + force
+        _phase("dw pipeline compiled; timing repeats")
+        times = []
+        for r in range(1, args.repeats + 1):
+            th = theta_sampler(r)
+            th.block_until_ready()
+            t0 = _time.perf_counter()
+            res, st, tk = run(th)
+            float(jnp.sum(tk))  # force the VALUE (CLAUDE.md timing rule)
+            times.append(_time.perf_counter() - t0)
+        tk = _np.asarray(tk)
+        status = _np.asarray(res.status)
+        median_t = float(_np.median(times))
+        certified_ok = (status == 0) & (tk <= dw_tol)
+        out = {
+            "metric": "qp_mcp_solves_per_sec_dw",
+            "value": round(batch / median_t, 3),
+            "unit": "solves/s",
+            "batch_size": batch,
+            "success_rate": round(float(_np.mean(status == 0)), 4),
+            "median_batch_time_s": round(median_t, 4),
+            "best_batch_time_s": round(float(min(times)), 4),
+            "tol": dw_tol,
+            "true_kkt_dw_max": float(f"{float(_np.max(tk)):.3g}"),
+            "true_kkt_dw_median": float(f"{float(_np.median(tk)):.3g}"),
+            "frac_true_kkt_at_tol": round(float(_np.mean(certified_ok)), 4),
+            "certified": bool(_np.all(certified_ok)),
+            "dw_iters": args.dw_iters,
+            "device": str(jax.devices()[0]),
+        }
+        _phase("dw protocol row")
+        print(json.dumps(out), flush=True)
+        return
 
     if args.suite == "warm":
         # K sweep steps with a small θ drift per step (the receding-horizon

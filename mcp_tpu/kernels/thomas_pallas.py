@@ -166,6 +166,198 @@ def _gjp_solve_aug(M, *, b: int):
     )
 
 
+#: Panel width for the blocked Gauss–Jordan elimination ("gjb*" facts).
+#: 32 keeps the panel slab inside one 128-lane Mosaic tile, makes every
+#: static lane-slice offset 32-aligned, and gives the trailing-update
+#: matmuls a 32-deep contraction (enough to keep the MXU busy).
+GJB_PANEL = 32
+
+
+def _gjb_solve_aug(M, *, b: int, refine: int = 1):
+    """Blocked pivot-free Gauss–Jordan; M (TB, b, nc) → X (TB, b, nc−b).
+
+    The unblocked eliminations ("gj"/"gjp"/"gjpr") pay b full-width VPU
+    passes over M — at the N=10 flagship (b=100, nc=401 with the inverse
+    augmentation) that is the dominant VMEM traffic of the whole Newton
+    iteration (DESIGN.md §11: serial chain × vector-op latency). Blocking
+    confines the per-column rank-1 work to a GJB_PANEL-lane slab (one
+    Mosaic tile) and applies the panel's combined transform to the trailing
+    columns as ONE MXU matmul per panel: the product of the panel's
+    elementary matrices E_j = I + u_j·e_{r_j}ᵀ is G = I + W·Pᵀ with P the
+    static panel rows, and W accumulates in-slab via
+    W += u_j·(W[r_j] + e_j) — so full-width passes drop from b to
+    ⌈b/GJB_PANEL⌉ and land on the MXU instead of the VPU.
+
+    Pivot rows are STATIC (row j eliminates column j — the same
+    zero-reduction static-slice pattern as the round-5 dense lane kernels):
+    no cross-sublane reductions anywhere in the elimination. No pivoting
+    means pivot growth on near-boundary IP blocks; ``refine`` in-kernel
+    iterative-refinement passes against the true A with the explicit
+    inverse (identity augmentation, the proven "gjpr" pattern) restore
+    certification-grade accuracy — and uncertifiable stragglers fall to
+    the solver's retry tier (SolverOptions.retry_linear_solver)."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    nrhs = nc - b
+    A0 = M[:, :, :b]
+    N0 = M[:, :, b:]
+    rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    eps = jnp.asarray(1e-30, dtype)
+    if refine:
+        eyeb = (
+            rows == lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+        ).astype(dtype)
+        live = jnp.concatenate([M, jnp.broadcast_to(eyeb, (TB, b, b))], axis=2)
+    else:
+        live = M
+    k0 = 0
+    while k0 < b:
+        w = min(GJB_PANEL, b - k0)
+        slab = live[:, :, :w]
+        trail = live[:, :, w:]
+        lane_w = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        W = jnp.zeros((TB, b, w), dtype)
+        for j in range(w):
+            r = k0 + j
+            col = slab[:, :, j : j + 1]  # (TB, b, 1)
+            piv = slab[:, r : r + 1, j : j + 1]  # (TB, 1, 1)
+            inv_piv = 1.0 / jnp.where(jnp.abs(piv) > eps, piv, eps)
+            # u: scale row r to pivot 1, eliminate every other row.
+            u = jnp.where(rows == r, inv_piv - 1.0, -col * inv_piv)
+            slab = slab + u * slab[:, r : r + 1, :]
+            W = W + u * (W[:, r : r + 1, :] + (lane_w == j).astype(dtype))
+        # Trailing update: G·trail = trail + W · trail[panel rows].
+        pr = trail[:, k0 : k0 + w, :]  # (TB, w, ntrail) static sublanes
+        trail = trail + lax.dot_general(
+            W,
+            pr,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+        live = trail
+        k0 += w
+    X = live[:, :, :nrhs]
+    if not refine:
+        return X
+    Ainv = live[:, :, nrhs:]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    bmm = lambda P, Q: lax.dot_general(
+        P, Q, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+    )
+    for _ in range(refine):
+        X = X + bmm(Ainv, N0 - bmm(A0, X))
+    return X
+
+
+def _gjbp_solve_aug(M, *, b: int, refine: int = 1):
+    """Blocked Gauss–Jordan WITH implicit partial pivoting; M (TB, b, nc)
+    → X (TB, b, nc−b).
+
+    The pivot-free blocked variant (_gjb_solve_aug) dies on game KKT
+    diagonal blocks — their constraint rows carry structural zero
+    diagonals, so a static pivot order hits a zero pivot immediately
+    (measured: kkt=inf on the lane-change tier test). This variant keeps
+    the exact pivot SEQUENCE of the unblocked "gjp"/"gjpr" facts (largest
+    |entry| among unused rows of the current column — right-looking
+    blocking does not change which column values the search sees) while
+    confining the per-column work to the GJB_PANEL-lane slab:
+
+      E_j = I + u_j·o_jᵀ  (o_j = data-dependent one-hot pivot row)
+      G_panel = Π_j E_j = I + W·Oᵀ,  W,O (TB, b, w) accumulated in-slab:
+        W ← W + u_j·(o_jᵀW + e_jᵀ),  O column j ← o_j
+
+    so the trailing update is TWO MXU matmuls per panel
+    (R = Oᵀ·trail, trail += W·R) instead of w full-width VPU passes.
+    Rows are never physically swapped; the per-panel Oᵀ contractions
+    unscramble the solution (and the explicit inverse when ``refine``)
+    at the end, exactly like the unblocked gjp's final permutation
+    matmul. ``refine`` explicit-inverse refinement passes (the gjpr
+    pattern) cancel the pivot-growth envelope on near-boundary blocks."""
+    dtype = M.dtype
+    TB, _, nc = M.shape
+    nrhs = nc - b
+    A0 = M[:, :, :b]
+    N0 = M[:, :, b:]
+    rows = lax.broadcasted_iota(jnp.int32, (1, b, 1), 1)
+    rows_f = rows.astype(dtype)
+    eps = jnp.asarray(1e-30, dtype)
+    if refine:
+        eyeb = (
+            rows == lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
+        ).astype(dtype)
+        live = jnp.concatenate([M, jnp.broadcast_to(eyeb, (TB, b, b))], axis=2)
+    else:
+        live = M
+    used = jnp.zeros((TB, b, 1), dtype)
+    panels = []  # (O, k0, w) per panel, for the final unscramble
+    k0 = 0
+    while k0 < b:
+        w = min(GJB_PANEL, b - k0)
+        slab = live[:, :, :w]
+        trail = live[:, :, w:]
+        lane_w = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        W = jnp.zeros((TB, b, w), dtype)
+        O = jnp.zeros((TB, b, w), dtype)
+        for j in range(w):
+            col = slab[:, :, j : j + 1]  # (TB, b, 1)
+            # Largest |entry| among unused rows; −1 sentinel excludes used.
+            score = jnp.abs(col) * (1.0 - used) - used
+            top = jnp.max(score, axis=1, keepdims=True)
+            first = jnp.min(
+                jnp.where(score == top, rows_f, jnp.asarray(float(b), dtype)),
+                axis=1,
+                keepdims=True,
+            )
+            o = (rows_f == first).astype(dtype)  # (TB, b, 1)
+            piv = jnp.sum(col * o, axis=1, keepdims=True)  # (TB, 1, 1)
+            inv_piv = 1.0 / jnp.where(jnp.abs(piv) > eps, piv, eps)
+            u = o * (inv_piv - 1.0) - (1.0 - o) * col * inv_piv
+            orow = jnp.sum(slab * o, axis=1, keepdims=True)  # (TB, 1, w)
+            slab = slab + u * orow
+            oW = jnp.sum(W * o, axis=1, keepdims=True)  # (TB, 1, w)
+            W = W + u * (oW + (lane_w == j).astype(dtype))
+            O = O + o * (lane_w == j).astype(dtype)
+            used = used + o
+        dn_sub = (((1,), (1,)), ((0,), (0,)))  # contract sublanes
+        R = lax.dot_general(
+            O, trail, dn_sub, preferred_element_type=dtype,
+            precision=lax.Precision.HIGHEST,
+        )  # (TB, w, ntrail) = trail rows at the panel's pivot rows
+        trail = trail + lax.dot_general(
+            W, R, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype, precision=lax.Precision.HIGHEST,
+        )
+        panels.append(O)
+        live = trail
+        k0 += w
+    # Unscramble: solution (and inverse) for panel p's variables sits at
+    # the panel's pivot rows — one Oᵀ contraction per panel, stacked back
+    # in variable order along sublanes.
+    dn_sub = (((1,), (1,)), ((0,), (0,)))
+    live = jnp.concatenate(
+        [
+            lax.dot_general(
+                O, live, dn_sub, preferred_element_type=dtype,
+                precision=lax.Precision.HIGHEST,
+            )
+            for O in panels
+        ],
+        axis=1,
+    )
+    X = live[:, :, :nrhs]
+    if not refine:
+        return X
+    Ainv = live[:, :, nrhs:]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    bmm = lambda P, Q: lax.dot_general(
+        P, Q, dn, preferred_element_type=dtype, precision=lax.Precision.HIGHEST
+    )
+    for _ in range(refine):
+        X = X + bmm(Ainv, N0 - bmm(A0, X))
+    return X
+
+
 def _gjpr_solve_aug(M, *, b: int):
     """Partially-pivoted Gauss–Jordan WITH one in-kernel iterative
     refinement pass (VERDICT r2 #4); M (TB, b, nc) → X (TB, b, nc−b).
@@ -214,6 +406,18 @@ def _solve_aug(M, *, b: int, fact: str):
         return _gjp_solve_aug(M, b=b)
     if fact == "gjpr":
         return _gjpr_solve_aug(M, b=b)
+    if fact == "gjb":
+        return _gjb_solve_aug(M, b=b, refine=0)
+    if fact == "gjbr":
+        return _gjb_solve_aug(M, b=b, refine=1)
+    if fact == "gjbr2":
+        return _gjb_solve_aug(M, b=b, refine=2)
+    if fact == "gjbp":
+        return _gjbp_solve_aug(M, b=b, refine=0)
+    if fact == "gjbpr":
+        return _gjbp_solve_aug(M, b=b, refine=1)
+    if fact == "gjbpr2":
+        return _gjbp_solve_aug(M, b=b, refine=2)
     return _qr_solve_aug(M, b=b)
 
 
@@ -1368,3 +1572,16 @@ gjpr_thomas_solve = _make_thomas_solve(None, fact="gjpr")
 crgjpr_thomas_solve = _make_thomas_solve("cr", fact="gjpr")
 #: Lane-major batch-on-lanes sweep (tier "tridiag_pallas_lanes").
 lanes_thomas_solve = _make_thomas_solve("lanes")
+#: CR + blocked pivot-free Gauss–Jordan, no refinement
+#: (tier "tridiag_pallas_crgjb").
+crgjb_thomas_solve = _make_thomas_solve("cr", fact="gjb")
+#: CR + blocked Gauss–Jordan with one explicit-inverse refinement pass
+#: (tier "tridiag_pallas_crgjbr") — the wide-block MXU-trailing-update
+#: candidate for the N=10 flagship (see _gjb_solve_aug).
+crgjbr_thomas_solve = _make_thomas_solve("cr", fact="gjbr")
+#: Two refinement passes (tier "tridiag_pallas_crgjbr2").
+crgjbr2_thomas_solve = _make_thomas_solve("cr", fact="gjbr2")
+#: CR + blocked PIVOTED Gauss–Jordan with one refinement pass
+#: (tier "tridiag_pallas_crgjbpr") — gjpr's exact pivot sequence with
+#: MXU trailing updates; the N=10 wide-block candidate.
+crgjbpr_thomas_solve = _make_thomas_solve("cr", fact="gjbpr")

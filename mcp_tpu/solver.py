@@ -396,6 +396,22 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import crgjpr_thomas_solve
 
         return crgjpr_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjb":
+        from .kernels.thomas_pallas import crgjb_thomas_solve
+
+        return crgjb_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjbr":
+        from .kernels.thomas_pallas import crgjbr_thomas_solve
+
+        return crgjbr_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjbr2":
+        from .kernels.thomas_pallas import crgjbr2_thomas_solve
+
+        return crgjbr2_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjbpr":
+        from .kernels.thomas_pallas import crgjbpr_thomas_solve
+
+        return crgjbpr_thomas_solve
     if options.linear_solver == "tridiag_pallas_lanes":
         from .kernels.thomas_pallas import lanes_thomas_solve
 
@@ -441,6 +457,10 @@ _TRIDIAG_TIERS = (
     "tridiag_pallas_crgjp",
     "tridiag_pallas_gjpr",
     "tridiag_pallas_crgjpr",
+    "tridiag_pallas_crgjb",
+    "tridiag_pallas_crgjbr",
+    "tridiag_pallas_crgjbr2",
+    "tridiag_pallas_crgjbpr",
     "tridiag_pallas_lanes",
     "tridiag_auto",
 )

@@ -270,6 +270,103 @@ class TestPallasThomas:
         assert r_gjp > 10 * r_qr  # the problem actually exercises the envelope
         assert r_gjpr < 3 * r_qr  # refinement restores QR-class accuracy
 
+    def test_gjb_blocked_matches_unblocked(self):
+        """The blocked pivot-free Gauss–Jordan (gjb*, round-5 N=10 kernel)
+        must agree with a dense solve across panel-boundary block sizes
+        (b below, at, straddling, and off-multiple of GJB_PANEL)."""
+        from mcp_tpu.kernels.thomas_pallas import GJB_PANEL, _gjb_solve_aug
+
+        for b, nrhs in [(8, 3), (GJB_PANEL, 5), (GJB_PANEL + 9, 2), (100, 7)]:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(b), 2)
+            f32 = jnp.float32
+            A = jax.random.normal(k1, (3, b, b), f32) + 2 * b * jnp.eye(
+                b, dtype=f32
+            )
+            N = jax.random.normal(k2, (3, b, nrhs), f32)
+            M = jnp.concatenate([A, N], axis=2)
+            X_ref = jnp.linalg.solve(A, N)
+            for refine in (0, 1):
+                X = _gjb_solve_aug(M, b=b, refine=refine)
+                np.testing.assert_allclose(
+                    np.asarray(X), np.asarray(X_ref), atol=5e-4
+                )
+
+    def test_gjbr_refinement_cancels_pivot_growth(self):
+        """One explicit-inverse refinement pass must pull the pivot-free
+        blocked elimination back to QR-class residuals on row-scale-spread
+        blocks (same adversary as the gjpr test — gjb has no pivoting at
+        all, so refinement carries the full stability load)."""
+        from mcp_tpu.kernels.thomas_pallas import (
+            _gjb_solve_aug,
+            _qr_solve_aug,
+        )
+
+        TB, b = 64, 20
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        f32 = jnp.float32
+        A = jax.random.normal(k1, (TB, b, b), f32)
+        A = A * 10.0 ** jax.random.uniform(k2, (TB, b, 1), minval=-3, maxval=3)
+        N = jax.random.normal(k3, (TB, b, 5), f32)
+        M = jnp.concatenate([A, N], axis=2)
+
+        def max_rel_residual(X):
+            R = N - jnp.einsum("bij,bjk->bik", A, X)
+            return float(jnp.max(jnp.abs(R)) / jnp.max(jnp.abs(N)))
+
+        r_qr = max_rel_residual(_qr_solve_aug(M, b=b))
+        r_gjb = max_rel_residual(_gjb_solve_aug(M, b=b, refine=0))
+        r_gjbr = max_rel_residual(_gjb_solve_aug(M, b=b, refine=1))
+        assert r_gjb > 10 * r_qr  # no pivoting: the envelope is real
+        assert r_gjbr < 5 * r_qr  # refinement restores QR-class accuracy
+
+    def test_gjbp_pivoted_blocked_matches_unblocked(self):
+        """The pivoted blocked elimination (gjbp*) must survive structural
+        zero leading pivots + row-scale spread (game KKT diagonal blocks) —
+        the regime where the pivot-free blocked variant returns inf
+        (measured on the lane-change tier: the crgjb/crgjbr tiers are a
+        recorded NEGATIVE result for games; only QP-like SPD blocks admit
+        the static pivot order)."""
+        from mcp_tpu.kernels.thomas_pallas import (
+            _gjbp_solve_aug,
+            _gjp_solve_aug,
+        )
+
+        TB, b, nrhs = 3, 50, 7
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+        f32 = jnp.float32
+        A = jax.random.normal(k1, (TB, b, b), f32)
+        A = A.at[:, 0, 0].set(0.0)
+        A = A * 10.0 ** jax.random.uniform(k2, (TB, b, 1), minval=-3, maxval=3)
+        N = jax.random.normal(k3, (TB, b, nrhs), f32)
+        M = jnp.concatenate([A, N], axis=2)
+        X_ref = jnp.linalg.solve(A, N)
+        scale = float(jnp.max(jnp.abs(X_ref)))
+        X_gjp = _gjp_solve_aug(M, b=b)
+        X_bp = _gjbp_solve_aug(M, b=b, refine=0)
+        X_bpr = _gjbp_solve_aug(M, b=b, refine=1)
+        err = lambda X: float(jnp.max(jnp.abs(X - X_ref))) / scale
+        assert err(X_bp) < 10 * max(err(X_gjp), 1e-6)
+        assert err(X_bpr) <= 2 * err(X_gjp) + 1e-6
+
+    @pytest.mark.parametrize("tier", ["tridiag_pallas_crgjbpr"])
+    def test_gjb_tier_full_solve(self, tier):
+        bench = lc.generate_test_problem(horizon=10)
+        mcp = bench.parametric_game.mcp
+        th = lc.generate_parameter_batch(
+            jax.random.PRNGKey(1), 4, bench, dtype=jnp.float32
+        )
+        ref = solve_batch(
+            mcp, th, options=SolverOptions(linear_solver="tridiag_pallas")
+        )
+        out = solve_batch(mcp, th, options=SolverOptions(linear_solver=tier))
+        np.testing.assert_array_equal(
+            np.asarray(out.status), np.asarray(ref.status)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(ref.x), atol=5e-3
+        )
+        assert float(jnp.max(out.kkt_error)) < 1e-3
+
     @pytest.mark.parametrize("tier", ["tridiag_pallas_gjpr", "tridiag_pallas_crgjpr"])
     def test_gjpr_tier_full_solve(self, tier):
         from mcp_tpu.bench import lane_change as lc
