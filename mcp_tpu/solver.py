@@ -144,6 +144,15 @@ class SolverOptions:
     # no-pivot GJ dense kernel) fall back to the unconditionally-stable QR
     # tier on the rare ill-conditioned lanes it cannot certify.
     retry_linear_solver: Optional[str] = None
+    # Outer-iteration budget for the retry rounds (None = inherit
+    # max_outer_iters). In a vmapped batch a hard lane drags its WHOLE
+    # batch's while_loop to the iteration cap (SPMD: wall-clock = slowest
+    # lane), so serving protocols cap the primary solve near the solving
+    # population's p99.9 and give the gated retry its own budget — bounding
+    # worst-case batch latency at primary_cap + retry_cap instead of 2x the
+    # monolithic cap (VERDICT r4 items 2/4: hard lanes stalled the streamed
+    # scan steps).
+    retry_max_outer_iters: Optional[int] = None
 
 
 def auto_tightening_rate(mcp) -> float:
@@ -333,6 +342,11 @@ def _retry_failed(
         tightening_rate=options.retry_tightening_rate,
         linear_solver=options.retry_linear_solver or options.linear_solver,
         retry=0,
+        max_outer_iters=(
+            options.retry_max_outer_iters
+            if options.retry_max_outer_iters is not None
+            else options.max_outer_iters
+        ),
     )
     x0 = jnp.zeros_like(res.x)
     y0 = jnp.ones_like(res.y)
@@ -721,6 +735,13 @@ def _terminal_polish(
     evaluates the true residual at each NEW iterate (one extra cheap gh()
     per polish step). Returns (x, y, s, true_kkt, failed)."""
     tol = options.tol
+    # Exit BELOW tol, not at it: a lane polished to exactly 9.99e-6 at
+    # tol 1e-5 re-measures at 1.01e-5 under the harness's independently-
+    # rounded true-KKT recompute (round-5 QP driver capture: frac 0.9961
+    # from exactly one boundary-riding lane). The ~15% margin costs at most
+    # one extra polish step on borderline lanes and makes the external
+    # certification robust to metric-side rounding.
+    exit_tol = 0.85 * tol
     reg = options.regularization if options.regularization is not None else tol
     dtype = x.dtype
     eps_p = jnp.asarray(0.5 * tol, dtype)
@@ -792,7 +813,7 @@ def _terminal_polish(
 
     def polish_cond(carry):
         _, _, _, tk, iters, p_failed = carry
-        live = (tk > tol) & (iters < options.max_inner_iters) & ~p_failed
+        live = (tk > exit_tol) & (iters < options.max_inner_iters) & ~p_failed
         # Gated-off lanes (SolverOptions.retry) skip the polish loop too —
         # their cold-start residual would otherwise drag the vmapped batch
         # through max_inner_iters useless polish steps.

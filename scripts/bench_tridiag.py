@@ -195,9 +195,12 @@ def bench(mcp, thetas, tier, x0=None, repeats=None):
         fn = _ingraph_repeat_solver(mcp, opts, R)
         yi = jnp.ones((B0, m), thetas.dtype)
         si = jnp.ones((B0, m), thetas.dtype)
-        fn(stack, xi, yi, si).block_until_ready()
+        # Force the VALUE: buffer-block can under-wait on this backend
+        # (CLAUDE.md timing rule; the harness cross-check had exactly this
+        # bug and reported 0.1 ms/batch in the round-5 driver capture).
+        float(fn(stack, xi, yi, si))
         t0 = time.perf_counter()
-        fn(stack, xi, yi, si).block_until_ready()
+        float(fn(stack, xi, yi, si))
         ingraph_t = (time.perf_counter() - t0) / R
     stats = batch_statistics(sol)
     B = thetas.shape[0]

@@ -95,7 +95,8 @@ def kernel_parity():
         # The T-tiled lane-major streaming path (band > VMEM window): the
         # N=4 certified-record configuration (286.4 solves/s, round 3).
         ("b40_lanes_tiled", 30, 40, 128, [("lanes", "qr")]),
-        ("b100_flagshipN10", 30, 100, 8, [("cr", "gjp"), ("cr", "gjpr")]),
+        ("b100_flagshipN10", 30, 100, 8, [("cr", "gjp"), ("cr", "gjpr"),
+                                          ("cr", "gjbpr")]),
     ]
     with jax.default_matmul_precision("highest"):
         for idx, (label, T, b, B, variants) in enumerate(cases):
@@ -294,10 +295,40 @@ def streamed_retry():
                seconds=round(time.perf_counter() - t0, 1))
 
 
+def twofloat_dw():
+    """Round-5 compensated-f32 machinery on REAL Mosaic/XLA-TPU: the
+    error-free transformations must survive this backend's fusion emitter
+    exactly as they do on CPU (utils/twofloat.py documents the CPU
+    reassociation hazard the scan formulation defeats). Gate: a doubled-
+    precision matvec against a CPU-f64 oracle computed via numpy."""
+    name = "twofloat/mv2_dw_oracle"
+    t0 = time.perf_counter()
+    try:
+        from mcp_tpu.utils.twofloat import mv2
+
+        rng = np.random.default_rng(11)
+        n = 200
+        A = rng.normal(size=(4, n, n)).astype(np.float32)
+        v = rng.normal(size=(4, n)).astype(np.float32)
+        ref = np.einsum(
+            "bij,bj->bi", A.astype(np.float64), v.astype(np.float64)
+        )
+        hi, lo = jax.jit(mv2)(jnp.asarray(A), jnp.asarray(v))
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        rel = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
+        # doubled precision ~1e-14; plain f32 would be ~1e-7
+        record(name, rel <= 1e-10, rel_err=f"{rel:.2e}",
+               seconds=round(time.perf_counter() - t0, 1))
+    except Exception as e:
+        record(name, False, error=f"{type(e).__name__}: {e}"[:300],
+               seconds=round(time.perf_counter() - t0, 1))
+
+
 if not args.skip_solver:
     solver_tiers()
 if not args.skip_kernels:
     dense_lanes()
+    twofloat_dw()
 if not args.skip_solver:
     streamed_retry()
 
