@@ -144,7 +144,15 @@ def main() -> None:
     parser.add_argument("--budget-seconds", type=float, default=420.0)
     args = parser.parse_args()
     if args.stream is None:
-        args.stream = 8 if args.suite == "lane_change" else 0
+        # Streamed scan + pipelined spans are the default serving protocol
+        # for the throughput suites (lane_change K=8; QP K=4 — its heavier
+        # per-batch compile and 3x batch time want a shallower scan). The
+        # warm suite has its own chained protocol; --dw times its own
+        # pipeline; --stream 0 recovers the per-dispatch protocol.
+        if args.dw or args.suite == "warm":
+            args.stream = 0
+        else:
+            args.stream = 8 if args.suite == "lane_change" else 4
     if args.retry is None:
         args.retry = 1 if args.suite == "lane_change" else 0
     if args.stream > 0 and args.repeats < 1:

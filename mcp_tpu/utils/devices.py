@@ -43,6 +43,28 @@ def enable_host_probe_backend() -> bool:
         return False
 
 
+def persistent_cache_dir() -> str:
+    """The persistent-cache directory (compile cache + staged artifacts):
+    MCPTPU_CACHE_DIR if set; else <repo-root>/.jax_cache_tpu for an
+    editable install; else a user-cache location (ADVICE r4)."""
+    import os
+
+    cache_dir = os.environ.get("MCPTPU_CACHE_DIR")
+    if cache_dir:
+        return cache_dir
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    candidate = os.path.join(root, ".jax_cache_tpu")
+    if os.path.basename(root) == "site-packages" or not os.access(
+        root, os.W_OK
+    ):
+        candidate = os.path.join(
+            os.path.expanduser("~"), ".cache", "mcp_tpu", "jax_cache"
+        )
+    return candidate
+
+
 def configure_tpu_cache(min_compile_secs: float = 1.0) -> bool:
     """One-stop TPU entry-point setup: point jax's persistent compilation
     cache at ``<repo-root>/.jax_cache_tpu`` (the 5-20 min tunnel compiles
@@ -53,24 +75,7 @@ def configure_tpu_cache(min_compile_secs: float = 1.0) -> bool:
     import os
 
     try:
-        cache_dir = os.environ.get("MCPTPU_CACHE_DIR")
-        if not cache_dir:
-            # Three dirname() hops above the package land at the repo root
-            # only for an editable install; for a site-packages install
-            # (parent possibly read-only) fall back to a user-cache
-            # location instead of silently swallowing the failure
-            # (ADVICE r4).
-            root = os.path.dirname(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            )
-            candidate = os.path.join(root, ".jax_cache_tpu")
-            if os.path.basename(root) == "site-packages" or not os.access(
-                root, os.W_OK
-            ):
-                candidate = os.path.join(
-                    os.path.expanduser("~"), ".cache", "mcp_tpu", "jax_cache"
-                )
-            cache_dir = candidate
+        cache_dir = persistent_cache_dir()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs

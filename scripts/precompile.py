@@ -146,10 +146,14 @@ def main() -> None:
             phase(f"N={players} flagship solve compiled + executed")
 
     if "train" in args.suites:
-        from mcp_tpu.bench.flagships import train_step_setup
+        from mcp_tpu.bench.flagships import stage_train_step
 
-        s = train_step_setup(8, 4, 30)
-        phase("train: problem + ground-truth solve staged")
+        # Builds the flagship, EXPORTS the traced program + input arrays
+        # under the persistent cache (so a warm bench run skips the game
+        # build and the trace, not just XLA — VERDICT r4 item 9), then
+        # compiles + executes one step to prime the XLA cache too.
+        s = stage_train_step(8, 4, 30)
+        phase("train: problem staged + program exported")
         loss, aux, grads = s.train_step(
             s.params, s.trajectories, s.init, s.goals
         )

@@ -44,4 +44,8 @@ run_job 05_headline_warm 1200 python bench.py
 run_job 06_qp 3600 python bench.py --suite qp --tol 1e-5
 run_job 07_qp_dw 3600 python bench.py --suite qp --tol 1e-6 --dw
 run_job 08_hard_retry 1200 python scripts/hard_retry_check.py
+# Train-step artifact staging (exported program + inputs) then the warm
+# first-step timing (VERDICT item 9: < 60 s on a primed machine).
+run_job 09_train_stage 3600 python scripts/precompile.py --suites train
+run_job 10_train_warm 1800 python scripts/bench_train_step.py --batch 8
 echo "queue r5b complete $(date -u +%H:%M:%S)" >> "$LOGS/queue.log"
