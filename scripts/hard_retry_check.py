@@ -69,13 +69,17 @@ ok = True
 H = len(HARD)
 for j, (i, lane) in enumerate(HARD):
     ka, kb = float(r_a.kkt_error[j]), float(r_b.kkt_error[j])
+    rescued = int(r_b.status[j]) == 0
     same_floor = abs(ka - kb) <= 0.05 * max(ka, kb)
     print(
         f"hard (i={i}, lane={lane}): strategyA kkt={ka:.4e} "
-        f"strategyB(retry) kkt={kb:.4e} same_floor={same_floor}",
+        f"strategyB(retry) kkt={kb:.4e} "
+        f"{'RESCUED' if rescued else f'same_floor={same_floor}'}",
         flush=True,
     )
-    ok &= same_floor
+    # Either outcome is a pass: rescued (containment works) or both
+    # strategies at the same stationary floor (instance infeasibility).
+    ok &= rescued or same_floor
 for j, (i, _) in enumerate(HARD):
     st = int(r_a.status[H + j])
     print(f"control (i={i}, lane=0): status={st}", flush=True)

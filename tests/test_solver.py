@@ -433,6 +433,28 @@ class TestLoosenedRetry:
         # Honest accounting: retried lanes pay primary + retry iterations.
         assert np.all(np.asarray(r1.outer_iters) > np.asarray(r0.outer_iters))
 
+    def test_retry_max_outer_iters_budget(self):
+        # The retry round honors its own iteration budget
+        # (SolverOptions.retry_max_outer_iters): with a budget too small
+        # for the reference schedule the retry cannot rescue the lane,
+        # with a generous one it can — same stalled-primary setup as
+        # test_retry_rescues_stalled_annealing.
+        from mcp_tpu.parallel.batch import solve_batch
+
+        mcp = make_gh_mcp()
+        thetas = jnp.stack([THETA, THETA + 0.1])
+        base = dict(tightening_rate=100.0, max_outer_iters=8, polish=True)
+        r_small = solve_batch(
+            mcp, thetas, retry=1, retry_tightening_rate=0.1,
+            retry_max_outer_iters=1, **base
+        )
+        r_big = solve_batch(
+            mcp, thetas, retry=1, retry_tightening_rate=0.1,
+            retry_max_outer_iters=50, **base
+        )
+        assert not np.any(np.asarray(r_small.status) == SOLVED)
+        assert np.all(np.asarray(r_big.status) == SOLVED)
+
     def test_retry_noop_on_solved_lanes(self):
         # When every lane already solves, retry must not disturb results.
         from mcp_tpu.parallel.batch import solve_batch
