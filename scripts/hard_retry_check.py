@@ -36,9 +36,13 @@ from mcp_tpu.bench import lane_change as lc
 from mcp_tpu.parallel.batch import solve_batch
 from mcp_tpu.solver import SolverOptions, auto_tightening_rate
 
-# (sampler index i, lane) found by the round-5 CPU hunt; lane 0 of each
-# batch doubles as the solvable control.
-HARD = [(11, 84), (20, 87), (24, 105)]
+# (sampler index i, lane) found by the round-5 CPU hunt over 10,240 draws
+# (17 failures ≈ 1/600): 12/17 are RESCUED by the retry pass (annealed-0.1
+# cold restart) and 5/17 sit at genuine stationary floors — every strategy
+# AND a full f64 solve agree on the residual to many digits
+# (logs: 11_84 → 1.3684e-4 in f32 and f64 alike). Two of each class below;
+# lane 0 of each batch doubles as the solvable control.
+HARD = [(11, 84), (33, 221), (24, 105), (35, 47)]
 
 bench = lc.generate_test_problem(horizon=10)
 mcp = bench.parametric_game.mcp
@@ -61,9 +65,9 @@ for i, lane in HARD:
 ths = jnp.stack(hard_ths + control_ths)
 
 r_a = solve_batch(mcp, ths, options=SolverOptions(**base))
-r_b = solve_batch(
-    mcp, ths, options=SolverOptions(**{**base, "tightening_rate": 0.1}, retry=1)
-)
+# Strategy B is the SHIPPED headline config: same primary + gated retry
+# (the retry round is an annealed-0.1 cold restart).
+r_b = solve_batch(mcp, ths, options=SolverOptions(**base, retry=1))
 
 ok = True
 H = len(HARD)
