@@ -250,7 +250,16 @@ def _gjb_solve_aug(M, *, b: int, refine: int = 1):
     return X
 
 
-def _gjbp_solve_aug(M, *, b: int, refine: int = 1):
+#: Above this block size the blocked-pivoted elimination's statically
+#: unrolled panel steps are compile-prohibitive (measured: the b=100
+#: unrolled CR+gjbpr Mosaic compile ran >20 min on-chip) — the fori_loop
+#: panel body (w-independent trace) takes over.
+GJB_UNROLL_MAX_B = 64
+
+
+def _gjbp_solve_aug(
+    M, *, b: int, refine: int = 1, unroll: bool | None = None
+):
     """Blocked Gauss–Jordan WITH implicit partial pivoting; M (TB, b, nc)
     → X (TB, b, nc−b).
 
@@ -276,6 +285,8 @@ def _gjbp_solve_aug(M, *, b: int, refine: int = 1):
     pattern) cancel the pivot-growth envelope on near-boundary blocks."""
     dtype = M.dtype
     TB, _, nc = M.shape
+    if unroll is None:
+        unroll = b <= GJB_UNROLL_MAX_B
     nrhs = nc - b
     A0 = M[:, :, :b]
     N0 = M[:, :, b:]
@@ -299,8 +310,16 @@ def _gjbp_solve_aug(M, *, b: int, refine: int = 1):
         lane_w = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
         W = jnp.zeros((TB, b, w), dtype)
         O = jnp.zeros((TB, b, w), dtype)
-        for j in range(w):
-            col = slab[:, :, j : j + 1]  # (TB, b, 1)
+
+        def panel_step(j, slab, W, O, used):
+            if unroll:
+                col = slab[:, :, j : j + 1]  # static lane slice
+            else:
+                # dynamic j: one-hot lane extraction (the gjp pattern —
+                # arbitrary-offset dynamic slices trigger Mosaic relayouts)
+                col = jnp.sum(
+                    slab * (lane_w == j).astype(dtype), axis=2, keepdims=True
+                )
             # Largest |entry| among unused rows; −1 sentinel excludes used.
             score = jnp.abs(col) * (1.0 - used) - used
             top = jnp.max(score, axis=1, keepdims=True)
@@ -318,7 +337,23 @@ def _gjbp_solve_aug(M, *, b: int, refine: int = 1):
             oW = jnp.sum(W * o, axis=1, keepdims=True)  # (TB, 1, w)
             W = W + u * (oW + (lane_w == j).astype(dtype))
             O = O + o * (lane_w == j).astype(dtype)
-            used = used + o
+            return slab, W, O, used + o
+
+        if unroll:
+            # Static unrolling: cheapest per-step ops (static slices), but
+            # the ~b-step trace is expensive for the Mosaic compiler at
+            # wide blocks (measured: tens of minutes at b=100 inside the
+            # CR recursion). The loop variant trades ~1 extra narrow
+            # reduction per step for a w-independent trace.
+            for j in range(w):
+                slab, W, O, used = panel_step(j, slab, W, O, used)
+        else:
+            slab, W, O, used = lax.fori_loop(
+                0,
+                w,
+                lambda j, c: panel_step(j, *c),
+                (slab, W, O, used),
+            )
         dn_sub = (((1,), (1,)), ((0,), (0,)))  # contract sublanes
         R = lax.dot_general(
             O, trail, dn_sub, preferred_element_type=dtype,
@@ -418,6 +453,10 @@ def _solve_aug(M, *, b: int, fact: str):
         return _gjbp_solve_aug(M, b=b, refine=1)
     if fact == "gjbpr2":
         return _gjbp_solve_aug(M, b=b, refine=2)
+    if fact == "gjbprl":
+        return _gjbp_solve_aug(M, b=b, refine=1, unroll=False)
+    if fact == "gjbpru":
+        return _gjbp_solve_aug(M, b=b, refine=1, unroll=True)
     return _qr_solve_aug(M, b=b)
 
 
@@ -1585,3 +1624,7 @@ crgjbr2_thomas_solve = _make_thomas_solve("cr", fact="gjbr2")
 #: (tier "tridiag_pallas_crgjbpr") — gjpr's exact pivot sequence with
 #: MXU trailing updates; the N=10 wide-block candidate.
 crgjbpr_thomas_solve = _make_thomas_solve("cr", fact="gjbpr")
+#: Loop-variant blocked pivoted GJ (tier "tridiag_pallas_crgjbprl"):
+#: same algebra, fori_loop panel steps — w-independent Mosaic trace
+#: (the unrolled variant's compile runs tens of minutes at b=100).
+crgjbprl_thomas_solve = _make_thomas_solve("cr", fact="gjbprl")

@@ -426,6 +426,10 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import crgjbpr_thomas_solve
 
         return crgjbpr_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjbprl":
+        from .kernels.thomas_pallas import crgjbprl_thomas_solve
+
+        return crgjbprl_thomas_solve
     if options.linear_solver == "tridiag_pallas_lanes":
         from .kernels.thomas_pallas import lanes_thomas_solve
 
@@ -475,6 +479,7 @@ _TRIDIAG_TIERS = (
     "tridiag_pallas_crgjbr",
     "tridiag_pallas_crgjbr2",
     "tridiag_pallas_crgjbpr",
+    "tridiag_pallas_crgjbprl",
     "tridiag_pallas_lanes",
     "tridiag_auto",
 )
