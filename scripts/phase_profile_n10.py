@@ -35,7 +35,10 @@ parser.add_argument(
     "--facts", nargs="*", default=["gjpr", "gjbpr", "gjbpr2"],
     help="CR in-kernel factorizations to A/B for the solve phase",
 )
-parser.add_argument("--tiles", nargs="*", type=int, default=[1, 2, 4, 8])
+# tile 4/8 at b=100 kill the Mosaic compiler (HTTP 500 tpu_compile_helper
+# exit 1 after multi-minute attempts — the CR temporaries exceed what the
+# compiler will schedule); measured on-chip round 5, hence the [1, 2] default.
+parser.add_argument("--tiles", nargs="*", type=int, default=[1, 2])
 args = parser.parse_args()
 
 import jax
