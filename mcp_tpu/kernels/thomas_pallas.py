@@ -1394,6 +1394,12 @@ def pallas_block_thomas(
     if mode == "lanes":
         # Lane-major: the lane axis carries exactly 128 systems per tile.
         batch_tile = 128
+    if batch_tile is None and mode == "cr" and b > PALLAS_THOMAS_MAX_BLOCK:
+        # Wide-block CR: tile 2 measured 5% faster than tile 1 (round-5
+        # phase profile, b=100: 7.08 vs 7.45 ms solve) and tile 4/8 KILL
+        # the Mosaic compiler (HTTP 500 after multi-minute attempts) — pin
+        # the measured optimum instead of budget-deriving it.
+        batch_tile = min(2, B)
     if batch_tile is None:
         # Mosaic pads the last two dims to (8, 128) tiles — a (20, 20)
         # block occupies (24, 128) in VMEM. Unpacked, the kernel's scoped
@@ -1506,12 +1512,17 @@ PALLAS_THOMAS_MIDBLOCK = 32
 def _auto_pick(B: int, T: int, b: int):
     """(mode, fact) for the batch-aware auto tier (see crossover notes)."""
     if b > PALLAS_THOMAS_MAX_BLOCK:
-        # Wide blocks: CR + REFINED pivoted Gauss–Jordan since round 3:
-        # GJP's pivot-growth envelope dropped 12% of N=10 (b=100) instances
-        # under the polish certifier (success 0.88, frac 0.875) while one
-        # in-kernel refinement step restores success 1.00 / frac 1.000 AND
-        # runs 1.5x faster end-to-end under polish (3.72 vs 2.40 solves/s).
-        return "cr", "gjpr"
+        # Wide blocks: CR + BLOCKED refined pivoted Gauss–Jordan (round 5).
+        # Round-3 history: GJP's pivot-growth envelope dropped 12% of N=10
+        # (b=100) instances under the polish certifier while one in-kernel
+        # refinement restored success 1.00 / frac 1.000 ("gjpr"). Round-5
+        # phase profile (scripts/phase_profile_n10.py, on-chip): the solve
+        # is 84% of the N=10 iteration, and the blocked variant's
+        # panel-confined elimination + MXU trailing updates measure
+        # 7.45 ms vs gjpr's 8.21 ms at the dispatcher tile (7.08 at
+        # tile 2) — same pivot sequence, same refinement, ~12% per
+        # iteration end-to-end.
+        return "cr", "gjbpr"
     if T >= PALLAS_THOMAS_CR_MIN_T:
         return "cr", "qr"
     if b > PALLAS_THOMAS_MIDBLOCK and B < 128:
