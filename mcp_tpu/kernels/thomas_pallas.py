@@ -1512,17 +1512,20 @@ PALLAS_THOMAS_MIDBLOCK = 32
 def _auto_pick(B: int, T: int, b: int):
     """(mode, fact) for the batch-aware auto tier (see crossover notes)."""
     if b > PALLAS_THOMAS_MAX_BLOCK:
-        # Wide blocks: CR + BLOCKED refined pivoted Gauss–Jordan (round 5).
-        # Round-3 history: GJP's pivot-growth envelope dropped 12% of N=10
-        # (b=100) instances under the polish certifier while one in-kernel
-        # refinement restored success 1.00 / frac 1.000 ("gjpr"). Round-5
-        # phase profile (scripts/phase_profile_n10.py, on-chip): the solve
-        # is 84% of the N=10 iteration, and the blocked variant's
-        # panel-confined elimination + MXU trailing updates measure
-        # 7.45 ms vs gjpr's 8.21 ms at the dispatcher tile (7.08 at
-        # tile 2) — same pivot sequence, same refinement, ~12% per
-        # iteration end-to-end.
-        return "cr", "gjbpr"
+        # Wide blocks: CR + REFINED pivoted Gauss–Jordan since round 3:
+        # GJP's pivot-growth envelope dropped 12% of N=10 (b=100) instances
+        # under the polish certifier (success 0.88, frac 0.875) while one
+        # in-kernel refinement step restores success 1.00 / frac 1.000 AND
+        # runs 1.5x faster end-to-end under polish (3.72 vs 2.40 solves/s).
+        #
+        # Round-5 NEGATIVE result (on-chip, logs/tpu_queue_r5b/03_n10_ab):
+        # the blocked variant "gjbpr" measures 9-14% faster per iteration
+        # (solve 8.21 → 7.45/7.08 ms) with the SAME pivot sequence, but its
+        # W·Oᵀ product-form trailing updates compound rounding across the
+        # 32-step panel and certification drops to success 0.75 at N=10 —
+        # the IP boundary's 1e±4 row-scale spread is exactly where the
+        # product form is weakest. gjpr's direct per-column updates stay.
+        return "cr", "gjpr"
     if T >= PALLAS_THOMAS_CR_MIN_T:
         return "cr", "qr"
     if b > PALLAS_THOMAS_MIDBLOCK and B < 128:
@@ -1635,6 +1638,8 @@ crgjbr2_thomas_solve = _make_thomas_solve("cr", fact="gjbr2")
 #: (tier "tridiag_pallas_crgjbpr") — gjpr's exact pivot sequence with
 #: MXU trailing updates; the N=10 wide-block candidate.
 crgjbpr_thomas_solve = _make_thomas_solve("cr", fact="gjbpr")
+#: Two-refinement blocked pivoted GJ (tier "tridiag_pallas_crgjbpr2").
+crgjbpr2_thomas_solve = _make_thomas_solve("cr", fact="gjbpr2")
 #: Loop-variant blocked pivoted GJ (tier "tridiag_pallas_crgjbprl"):
 #: same algebra, fori_loop panel steps — w-independent Mosaic trace
 #: (the unrolled variant's compile runs tens of minutes at b=100).

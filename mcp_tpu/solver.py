@@ -426,6 +426,10 @@ def _tridiag_algorithm(options, tridiag_solver):
         from .kernels.thomas_pallas import crgjbpr_thomas_solve
 
         return crgjbpr_thomas_solve
+    if options.linear_solver == "tridiag_pallas_crgjbpr2":
+        from .kernels.thomas_pallas import crgjbpr2_thomas_solve
+
+        return crgjbpr2_thomas_solve
     if options.linear_solver == "tridiag_pallas_crgjbprl":
         from .kernels.thomas_pallas import crgjbprl_thomas_solve
 
@@ -479,6 +483,7 @@ _TRIDIAG_TIERS = (
     "tridiag_pallas_crgjbr",
     "tridiag_pallas_crgjbr2",
     "tridiag_pallas_crgjbpr",
+    "tridiag_pallas_crgjbpr2",
     "tridiag_pallas_crgjbprl",
     "tridiag_pallas_lanes",
     "tridiag_auto",
