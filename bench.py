@@ -87,9 +87,11 @@ def main() -> None:
     # containment that takes the streamed protocol to success 1.0
     # (VERDICT r4 item 4). Default: 1 for lane_change, 0 elsewhere.
     parser.add_argument("--retry", type=int, default=None)
-    # Streamed-protocol pipelining: dispatches enqueued back-to-back per
-    # timed span without host syncs (tunnel slack paid ~once per span).
-    parser.add_argument("--pipeline", type=int, default=4)
+    # Streamed-protocol span structure: `pipeline` dispatches enqueued
+    # back-to-back per timed span. Measured round 5: the tunnel's execute
+    # RPC is synchronous, so pipelining >1 amortizes NOTHING (kept for
+    # protocol experiments; scan depth --stream is the real amortizer).
+    parser.add_argument("--pipeline", type=int, default=1)
     parser.add_argument("--spans", type=int, default=3)
     parser.add_argument("--tol", type=float, default=1e-4)
     # f64 solves (reference QP protocol runs tol 1e-6, benchmark/path.jl:8;
@@ -144,15 +146,19 @@ def main() -> None:
     parser.add_argument("--budget-seconds", type=float, default=420.0)
     args = parser.parse_args()
     if args.stream is None:
-        # Streamed scan + pipelined spans are the default serving protocol
-        # for the throughput suites (lane_change K=8; QP K=4 — its heavier
-        # per-batch compile and 3x batch time want a shallower scan). The
-        # warm suite has its own chained protocol; --dw times its own
-        # pipeline; --stream 0 recovers the per-dispatch protocol.
+        # Streamed-scan serving protocol. Scan depth K is the dispatch-slack
+        # amortizer: the axon tunnel's execute round-trip is SYNCHRONOUS
+        # (measured round 5: a 4-deep async pipeline amortized nothing —
+        # per-dispatch slack 260-290 ms/dispatch was preserved exactly), so
+        # slack/K is the only lever and K=32 puts a worst-day 290 ms tunnel
+        # at ~9 ms/batch against a 33 ms device batch time. QP's batch time
+        # is similar but its scan compiles ~3x slower — K=16. The warm
+        # suite has its own chained protocol; --dw times its own pipeline;
+        # --stream 0 recovers the per-dispatch protocol.
         if args.dw or args.suite == "warm":
             args.stream = 0
         else:
-            args.stream = 8 if args.suite == "lane_change" else 4
+            args.stream = 32 if args.suite == "lane_change" else 16
     if args.retry is None:
         args.retry = 1 if args.suite == "lane_change" else 0
     if args.stream > 0 and args.repeats < 1:

@@ -77,7 +77,8 @@ def main() -> None:
 
         key = jax.random.PRNGKey(1)
         thetas = lc.generate_parameter_batch(key, args.batch, bench)
-        # bench.py defaults since round 5: streamed scan (K=8) + retry=1.
+        # bench.py defaults since round 5: streamed scan (K=32 — the
+        # synchronous-tunnel slack amortizer) + retry=1.
         options = SolverOptions(
             tol=1e-4,
             linear_solver="tridiag_pallas",
@@ -90,12 +91,12 @@ def main() -> None:
             [
                 lc.generate_parameter_batch(jax.random.fold_in(key, 1 + k),
                                             args.batch, bench)
-                for k in range(8)
+                for k in range(32)
             ]
         )
         result = solve_batches_streamed(mcp, stack, options=options)
         float(jnp.sum(result.x))
-        phase("headline 1/4: streamed scan (K=8, retry) compiled + executed")
+        phase("headline 1/4: streamed scan (K=32, retry) compiled + executed")
 
         flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), result)
         float(
