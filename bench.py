@@ -158,7 +158,10 @@ def main() -> None:
         if args.dw or args.suite == "warm":
             args.stream = 0
         else:
-            args.stream = 32 if args.suite == "lane_change" else 16
+            # lax.scan compiles its body once — K does not grow compile
+            # time, only the θ-stack footprint (QP: 20.2k-float θ × 256 ×
+            # 32 ≈ 662 MB on a 16 GB chip).
+            args.stream = 32
     if args.retry is None:
         args.retry = 1 if args.suite == "lane_change" else 0
     if args.stream > 0 and args.repeats < 1:
