@@ -385,13 +385,18 @@ def main() -> None:
         tk = _np.asarray(tk)
         status = _np.asarray(res.status)
         median_t = float(_np.median(times))
-        certified_ok = (status == 0) & (tk <= dw_tol)
+        # Certification judges the MEASURED doubled-precision residual, not
+        # the f32 stage's status flag: the dw polish routinely pushes lanes
+        # the f32 stage gave up on under tol (round-5 capture: a
+        # status-failed lane landed at 8.9e-7 ≤ 1e-6 — a residual that
+        # small IS a valid KKT point; the flag was stale).
+        certified_ok = tk <= dw_tol
         out = {
             "metric": "qp_mcp_solves_per_sec_dw",
             "value": round(batch / median_t, 3),
             "unit": "solves/s",
             "batch_size": batch,
-            "success_rate": round(float(_np.mean(status == 0)), 4),
+            "f32_stage_success_rate": round(float(_np.mean(status == 0)), 4),
             "median_batch_time_s": round(median_t, 4),
             "best_batch_time_s": round(float(min(times)), 4),
             "tol": dw_tol,
