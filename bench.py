@@ -477,7 +477,14 @@ def main() -> None:
                 st = stack_for(idx)
                 idx += 1
                 span_stacks.append(st)
-            jax.block_until_ready(span_stacks)  # uploads outside the clock
+            # Force the upload by VALUE, not buffer: block_until_ready
+            # under-waits on this backend, and the θ-stack h2d through the
+            # tunnel (~0.5 MB/batch — SECONDS at K=32) then lands inside
+            # the timed span. This was the round-5 "dispatch slack": it
+            # scaled exactly with K (measured 260 ms at K=8 → 1.28 s at
+            # K=32 per dispatch) because it was the upload, not the RPC.
+            for st in span_stacks:
+                float(jnp.sum(st))
             t0 = _time.perf_counter()
             span_results = [
                 solve_batches_streamed(mcp, st, options=options)

@@ -342,7 +342,11 @@ def benchmark_batched(
     times = []
     for r in range(repeats):
         th = batch_for(r)
-        th.block_until_ready()  # θ generation stays outside the clock
+        # θ generation AND its h2d upload stay outside the clock — force
+        # the VALUE (buffer-block under-waits on the tunnel backend and the
+        # upload then lands inside the timed dispatch; measured as most of
+        # the round-5 "dispatch slack").
+        float(jnp.sum(th))
         t0 = time.perf_counter()
         result = solve_batch(mcp, th, options=options)
         # Force a VALUE, not buffer metadata: on the axon tunnel backend

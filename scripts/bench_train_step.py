@@ -88,7 +88,7 @@ for r in range(args.repeats):
     init_r = init + 1e-3 * jax.random.normal(
         jax.random.fold_in(key, r), init.shape, jnp.float32
     )
-    jax.block_until_ready(init_r)
+    float(jnp.sum(init_r))  # outside the clock (VALUE-forced)
     t0 = time.perf_counter()
     loss, aux, grads = train_step(params, trajectories, init_r, goals)
     # Force VALUES (loss + a grad leaf) — buffer-block under-waits on axon.

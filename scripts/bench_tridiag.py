@@ -110,7 +110,7 @@ def bench_streamed(mcp, thetas, tier, x0=None):
     times = []
     for r in range(1, args.repeats + 1):
         st = stack_for(r)
-        jax.block_until_ready(st)
+        float(jnp.sum(st))  # upload outside the clock (VALUE-forced)
         t0 = time.perf_counter()
         result = solve_batches_streamed(mcp, st, options=opts, **kw)
         float(jnp.sum(result.x))  # force the VALUE (axon buffer under-wait)
@@ -150,7 +150,7 @@ def bench(mcp, thetas, tier, x0=None, repeats=None):
         th = thetas + 1e-4 * jax.random.normal(
             jax.random.PRNGKey(100 + r), thetas.shape, thetas.dtype
         )
-        jax.block_until_ready(th)
+        float(jnp.sum(th))  # upload/compute outside the clock (VALUE-forced)
         t0 = time.perf_counter()
         sol = solve_batch(mcp, th, x0=x0, options=opts)
         jax.block_until_ready(sol.x)
