@@ -377,7 +377,7 @@ def main() -> None:
         times = []
         for r in range(1, args.repeats + 1):
             th = theta_sampler(r)
-            th.block_until_ready()
+            float(jnp.sum(th))  # upload outside the clock (VALUE-forced)
             t0 = _time.perf_counter()
             res, st, tk = run(th)
             float(jnp.sum(tk))  # force the VALUE (CLAUDE.md timing rule)
