@@ -153,6 +153,13 @@ class SolverOptions:
     # monolithic cap (VERDICT r4 items 2/4: hard lanes stalled the streamed
     # scan steps).
     retry_max_outer_iters: Optional[int] = None
+    # Polish exit margin: polish drives the (f32-measured) true residual to
+    # margin*tol rather than tol, so an independently-rounded external
+    # recompute does not flip boundary-riding lanes (round-5 QP capture:
+    # frac 0.9961 from one lane at 1.01e-5 vs tol 1e-5). Protocols whose
+    # tol sits AT the f32 evaluation-noise floor (QP: ~6e-6 at data scale
+    # ~10-100) want a stronger margin (bench.py uses 0.5 for the QP suite).
+    polish_margin: float = 0.85
 
 
 def auto_tightening_rate(mcp) -> float:
@@ -751,7 +758,7 @@ def _terminal_polish(
     # from exactly one boundary-riding lane). The ~15% margin costs at most
     # one extra polish step on borderline lanes and makes the external
     # certification robust to metric-side rounding.
-    exit_tol = 0.85 * tol
+    exit_tol = options.polish_margin * tol
     reg = options.regularization if options.regularization is not None else tol
     dtype = x.dtype
     eps_p = jnp.asarray(0.5 * tol, dtype)
