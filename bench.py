@@ -568,12 +568,23 @@ def main() -> None:
                 )
                 return _qp_dw.true_kkt_dw(th, st_dw, n=n_p, m=m_p)
 
+            # Chunked: the compensated matvecs materialize several
+            # (chunk, n, n) f32 temporaries — the full 24,576-instance
+            # flat batch would need ~39 GB. 512/chunk stays ~2 GB.
+            dw_fn = jax.jit(jax.vmap(_dw_kkt))
+            chunks = []
             with jax.default_matmul_precision("highest"):
-                true_kkt = _np.asarray(
-                    jax.jit(jax.vmap(_dw_kkt))(
-                        flat_thetas, flat.x, flat.y, flat.s
+                for c0 in range(0, flat_thetas.shape[0], 512):
+                    c1 = c0 + 512
+                    chunks.append(
+                        _np.asarray(
+                            dw_fn(
+                                flat_thetas[c0:c1], flat.x[c0:c1],
+                                flat.y[c0:c1], flat.s[c0:c1],
+                            )
+                        )
                     )
-                )
+            true_kkt = _np.concatenate(chunks)
         solved = _np.asarray(flat.status) == 0
         solved_kkt = true_kkt[solved] if solved.any() else _np.asarray([_np.nan])
         stats.update(
