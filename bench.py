@@ -227,6 +227,11 @@ def main() -> None:
         thetas = _on_bench_device(
             lambda i: qp.generate_parameter_batch(key, batch, dtype=dtype)
         )(0)
+        # jit-traceable per-batch generator (the streamed protocol
+        # generates θ ON-CHIP inside the timed program — see below).
+        traced_batch_sampler = lambda k: qp.generate_parameter_batch(
+            k, batch, dtype=dtype
+        )
         metric_name = "qp_mcp_solves_per_sec"
         if args.tier.startswith("tridiag"):
             # Round-5 QP default: the static-slice no-pivot Gauss-Jordan
@@ -270,6 +275,9 @@ def main() -> None:
         thetas = _on_bench_device(
             lambda i: lc.generate_parameter_batch(key, batch, bench, dtype=dtype)
         )(0)
+        traced_batch_sampler = lambda k: lc.generate_parameter_batch(
+            k, batch, bench, dtype=dtype
+        )
         metric_name = "lane_change_mcp_solves_per_sec"
 
     from mcp_tpu.solver import SolverOptions
@@ -451,71 +459,73 @@ def main() -> None:
 
         import numpy as _np
 
-        from mcp_tpu.parallel import solve_batches_streamed
-
-        def stack_for(i):
-            return jnp.stack(
-                [theta_sampler(i * args.stream + k) for k in range(args.stream)]
-            )
-
-        stack = stack_for(0)
-        result = solve_batches_streamed(mcp, stack, options=options)
-        float(jnp.sum(result.x))  # compile + force
-        # TIMED program: the same K-deep scan reduced to two scalars
-        # ON-CHIP (Σx and Σouter_iters — every solve feeds them, so no
-        # work can be dead-code-eliminated). Rationale, measured round 5:
-        # the tunnel's execute RPC ships the FULL output literals home
-        # synchronously (~25 MB of (K,B,·) iterates at K=32) at ~17 MB/s —
-        # 1.4 s per dispatch of pure dev-tunnel d2h that no chip-adjacent
-        # deployment pays (PCIe moves 25 MB in ~2.5 ms). Value-forcing the
-        # scalar proves the whole scan executed; the full results for
-        # certification come from separate UNTIMED dispatches of the SAME
-        # stacks below, and the full-result dispatch cost is reported as
-        # `full_result_dispatch_s` for transparency.
+        # TIMED program: θ-generation + the K-deep solve scan + an on-chip
+        # two-scalar reduction (Σx + Σouter_iters — every solve feeds them,
+        # so nothing can be dead-code-eliminated), all inside ONE jit whose
+        # argument is a PRNG KEY (8 bytes up, 4 bytes down).
+        #
+        # Why, measured round 5 on the axon tunnel: the execute RPC moves
+        # argument and result LITERALS through the tunnel per call — the
+        # K=32 lane-change stack+iterates (~40 MB round trip) cost
+        # ~1.4 s/dispatch and the QP stack (662 MB) ~9 s/dispatch, of pure
+        # dev-tunnel bandwidth that no chip-adjacent deployment pays
+        # (PCIe moves 40 MB in ~4 ms); pre-forcing uploads did not stick
+        # because the literals ride the execute itself. On-chip generation
+        # from a key is the honest protocol: the device does ALL the work
+        # (gen + solve), the wire carries nothing, and the SAME key
+        # deterministically reproduces every θ for the untimed
+        # certification dispatches below (`full_result_dispatch_s` reports
+        # what a full-result dispatch costs through this tunnel).
         from mcp_tpu.parallel.batch import _streamed_solver
+
+        K = args.stream
+
+        def gen_stack_traced(k):
+            keys = jax.random.split(k, K)
+            return jnp.stack(
+                [traced_batch_sampler(keys[i]) for i in range(K)]
+            )
 
         _run = _streamed_solver(mcp, options, False, False)
         n_dim, m_dim = mcp.unconstrained_dimension, mcp.constrained_dimension
-        x0s = jnp.zeros((batch, n_dim), stack.dtype)
-        y0s = jnp.ones((batch, m_dim), stack.dtype)
-        s0s = jnp.ones((batch, m_dim), stack.dtype)
+        x0s = jnp.zeros((batch, n_dim), jnp.float32)
+        y0s = jnp.ones((batch, m_dim), jnp.float32)
+        s0s = jnp.ones((batch, m_dim), jnp.float32)
+
+        def _solve_from_key(k):
+            return _run(gen_stack_traced(k), x0s, y0s, s0s)
+
         timed_fn = jax.jit(
-            lambda ts: (
+            lambda k: (
                 lambda res: jnp.sum(res.x).astype(jnp.float32)
                 + jnp.sum(res.outer_iters).astype(jnp.float32)
-            )(_run(ts, x0s, y0s, s0s))
+            )(_solve_from_key(k))
         )
-        float(timed_fn(stack))  # compile + warm
+        full_fn = jax.jit(_solve_from_key)
+        stack_fn = jax.jit(gen_stack_traced)
+
+        span_key = lambda sp: jax.random.fold_in(key, 7000 + sp)
+        float(timed_fn(span_key(-1)))  # compile + warm
         spans = max(1, args.spans)
         pipeline = max(1, args.pipeline)
         times = []  # per-span wall seconds
         all_results = []
         full_result_times = []
-        idx = 1
         for sp in range(spans):
-            span_stacks = []
-            for r in range(pipeline):
-                st = stack_for(idx)
-                idx += 1
-                span_stacks.append(st)
-            # Upload outside the clock, VALUE-forced (buffer-block
-            # under-waits; the h2d through the tunnel is seconds at K=32).
-            for st in span_stacks:
-                float(jnp.sum(st))
+            ks = [span_key(sp * pipeline + r) for r in range(pipeline)]
             t0 = _time.perf_counter()
-            for st in span_stacks:
-                float(timed_fn(st))
+            for k in ks:
+                float(timed_fn(k))
             times.append(_time.perf_counter() - t0)
-            # Untimed full-result dispatches of the SAME stacks for
-            # statistics + certification (the device re-solves; only the
-            # result transfer differs from the timed program).
-            for st in span_stacks:
+            # Untimed full-result dispatches of the SAME keys (identical
+            # θ draws by PRNG determinism) for statistics + certification.
+            for k in ks:
                 t1 = _time.perf_counter()
-                res = solve_batches_streamed(mcp, st, options=options)
+                res = full_fn(k)
                 float(jnp.sum(res.x))
                 full_result_times.append(_time.perf_counter() - t1)
                 all_results.append(res)
-            last_stack = span_stacks[-1]
+            last_stack = stack_fn(ks[-1])
         result = all_results[-1]
         # Per-batch time: span wall-clock over its pipeline*K batches.
         times = [t / pipeline for t in times]
