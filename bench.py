@@ -504,7 +504,12 @@ def main() -> None:
         full_fn = jax.jit(_solve_from_key)
         stack_fn = jax.jit(gen_stack_traced)
 
-        span_key = lambda sp: jax.random.fold_in(key, 7000 + sp)
+        # rbg keys: the QP θ batch draws ~15M threefry values (uniform P/A
+        # + bernoulli masks over 20.2k dims × 256) — measured ~350 ms/batch
+        # of pure PRNG inside the timed program. The hardware-RNG rbg impl
+        # is deterministic-per-key and an order of magnitude faster.
+        _rbg_base = jax.random.key(1, impl="rbg")
+        span_key = lambda sp: jax.random.fold_in(_rbg_base, 7000 + sp)
         float(timed_fn(span_key(-1)))  # compile + warm
         spans = max(1, args.spans)
         pipeline = max(1, args.pipeline)
