@@ -5,7 +5,7 @@
 # span; see bench.py). Everything is compile-cached by stage 3.
 set -u
 SNAP=/root/repo/.tpu_run
-LOGS=/root/repo/logs/tpu_queue_r5d
+LOGS=/root/repo/logs/tpu_queue_r5f
 mkdir -p "$LOGS" "$SNAP"
 cd /root/repo && git archive HEAD | tar -x -C "$SNAP"
 cd "$SNAP"
