@@ -242,13 +242,18 @@ def main() -> None:
             # (VERDICT r4 item 3).
             print(
                 f"note: --tier {args.tier} has no QP time structure; "
-                "running the exact 'schur_pallas_gj' tier instead "
-                "(QR-tier in-graph retry for uncertified lanes)",
+                "running the exact 'schur_pallas_gj' tier instead",
                 file=sys.stderr,
             )
             args.tier = "schur_pallas_gj"
-            if args.retry == 0:
-                args.retry = 1
+            # Round-5 measured: the gated annealed retry was a ~14x drag on
+            # the streamed QP suite — nearly every fresh 256-draw batch
+            # contains ~1 infeasible-by-construction draw (qp.py:10) that
+            # the retry can never rescue but whose gated annealed re-solve
+            # the whole batch waits on (321.8 -> 22.9 ms/batch without it,
+            # IDENTICAL success 0.9961; the doubled-precision certifier
+            # measured dw_frac_solved = 1.0 for the GJ tier without any
+            # retry containment). Opt back in with --retry 1.
         if (
             args.x64
             and args.tier.startswith("schur_pallas")
@@ -294,8 +299,17 @@ def main() -> None:
         refinement_steps=args.refinement_steps,
         retry=args.retry,
     )
+    if args.suite == "qp":
+        # Iteration caps sized to the solving population (median 12 PC
+        # iters, p99 well under 25): infeasible draws fail FAST instead of
+        # running the monolithic 50-iteration cap the whole batch waits on
+        # (round-5 hard-draw forensics; same lever as the lane-change
+        # retry_max_outer_iters).
+        option_kwargs["max_outer_iters"] = 25
+        option_kwargs["retry_max_outer_iters"] = 8
     if args.suite == "qp" and args.tier.startswith("schur_pallas_gj"):
-        # The no-pivot GJ tiers retry on the unconditionally-stable QR tier.
+        # The no-pivot GJ tiers retry on the unconditionally-stable QR tier
+        # (when --retry is enabled).
         option_kwargs["retry_linear_solver"] = "schur_pallas"
     # NOTE (round-5 measured): polishing the QP suite to 0.5*tol was a
     # NEGATIVE result — tol 1e-5 sits AT the f32 evaluation-noise floor
