@@ -299,6 +299,12 @@ def main() -> None:
         refinement_steps=args.refinement_steps,
         retry=args.retry,
     )
+    if args.suite == "lane_change" and args.retry:
+        # Retry budget: rescued lane-change draws need <= ~16 annealed outer
+        # iterations (round-5 hard-draw forensics, 12/17 rescued); the
+        # f64-verified-infeasible rest would otherwise drag their batch to
+        # the monolithic cap inside the gated retry.
+        option_kwargs["retry_max_outer_iters"] = 20
     if args.suite == "qp":
         # Iteration caps sized to the solving population (median 12 PC
         # iters, p99 well under 25): infeasible draws fail FAST instead of
