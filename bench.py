@@ -81,11 +81,15 @@ def main() -> None:
     # device rate). 0 = per-dispatch protocol; default: 8 for lane_change,
     # 0 for the other suites.
     parser.add_argument("--stream", type=int, default=None, metavar="K")
-    # In-graph loosened retries for failed lanes (SolverOptions.retry):
-    # instance-hard draws that run to the iteration cap re-solve under the
-    # reference annealing schedule inside the same dispatch — the
-    # containment that takes the streamed protocol to success 1.0
-    # (VERDICT r4 item 4). Default: 1 for lane_change, 0 elsewhere.
+    # In-graph loosened retries for failed lanes (SolverOptions.retry).
+    # DEFAULT 0 since round 5 — reference-parity failure semantics: the
+    # hard-draw forensics (ROUND5.md item 4) proved ~34% of fresh 256-lane
+    # batches carry a hard draw whose gated retry costs ~20 ms/batch
+    # amortized while rescuing only the 12/17 rescuable ones (success
+    # 0.9987 -> 0.9997); the rest are f64-verified infeasible instances
+    # the reference's solver (no retry) fails identically. Measured:
+    # retry 0 = 7,342/s certified vs retry 1 = 4,582/s. --retry 1 is the
+    # robustness option for rescue-worthy serving.
     parser.add_argument("--retry", type=int, default=None)
     # Streamed-protocol span structure: `pipeline` dispatches enqueued
     # back-to-back per timed span. Measured round 5: the tunnel's execute
@@ -163,7 +167,7 @@ def main() -> None:
             # 32 ≈ 662 MB on a 16 GB chip).
             args.stream = 32
     if args.retry is None:
-        args.retry = 1 if args.suite == "lane_change" else 0
+        args.retry = 0
     if args.stream > 0 and args.repeats < 1:
         parser.error("--stream requires --repeats >= 1")
 
